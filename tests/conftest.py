@@ -1,0 +1,23 @@
+"""Test harness config: run on a virtual 8-device CPU mesh.
+
+Real-chip benchmarking happens in bench.py; tests validate semantics
+and multi-device sharding on the host platform (the driver separately
+dry-runs the multichip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
