@@ -70,7 +70,7 @@ def round_up(x: int, m: int = 128) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _build_device(keys, prev, nxt, valid):
     """Sort + segment-reduce one k-mer stream.  Returns full-capacity
     (padded) arrays plus the number of unique entries."""
@@ -188,6 +188,7 @@ def merge(a: KmerTable, b: KmerTable) -> KmerTable:
         jnp.int32(n), jnp.zeros(cap, bool))
 
 
+@jax.jit
 def lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Vectorized multiword lower-bound binary search.
 
@@ -198,17 +199,18 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """
     cap = keys.shape[0]
     m = queries.shape[0]
-    steps = max(1, (cap - 1).bit_length())
+    steps = cap.bit_length()  # enough for the [0, cap) range to collapse
     lo = jnp.zeros(m, jnp.int32)
     hi = jnp.full(m, cap, jnp.int32)
 
     def step(i, carry):
         lo, hi = carry
+        live = lo < hi  # converged lanes must not move again
         mid = (lo + hi) >> 1
         row = keys[jnp.clip(mid, 0, cap - 1)]
         less = bits.lex_less(row, queries)  # keys[mid] < q
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        lo = jnp.where(live & less, mid + 1, lo)
+        hi = jnp.where(live & ~less, mid, hi)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, steps, step, (lo, hi))

@@ -3,16 +3,25 @@
 Real-chip benchmarking happens in bench.py; tests validate semantics
 and multi-device sharding on the host platform (the driver separately
 dry-runs the multichip path via __graft_entry__.dryrun_multichip).
+
+NOTE: this environment's sitecustomize force-registers the tunneled
+'axon' TPU backend and sets jax_platforms='axon,cpu', overriding the
+JAX_PLATFORMS env var.  We must override the *config* after importing
+jax, before any backend is initialized — otherwise every eager op
+round-trips through the TPU tunnel (~0.5s/op) and tests crawl.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
