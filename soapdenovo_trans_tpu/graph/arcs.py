@@ -1,0 +1,250 @@
+"""Read -> edge-path threading and preArc accumulation.
+
+TPU-native equivalent of prlRead2edge/parse1read (reference:
+src/prlRead2path.c:617-789) and the arc symmetrization done at load
+time by add1Arc (src/loadPreGraph.c:563-627).
+
+The reference walks each read serially, building a compacted edge
+path (consecutive interior k-mers of the same edge collapse; adjacent
+vertex k-mers resolve through a (K+1)-mer "patch" table to length-1
+edges), then records a preArc for every adjacent pair.  Here the same
+compaction is computed data-parallel over a whole read batch:
+
+* per k-mer position: one batched dictionary lookup -> directed node
+  -> owning edge via the node->(edge,pos) map from condensation;
+* per adjacent vertex pair: one batched (K+1)-mer patch lookup;
+* "previous path entry" for every slot via a single cumulative-max
+  scan instead of a serial append loop;
+* missing/deleted k-mers become barriers that no arc may cross.
+
+Deviation from the reference: a deleted k-mer mid-read *truncates*
+the reference's walk (parse1read's break at :655); here it only
+breaks adjacency at that point and threading resumes after.  This can
+only add arcs the reference would drop from reads spanning deleted
+k-mers.
+
+preArcs are symmetrized like add1Arc: every observed (f, t, w) also
+contributes (twin(t), twin(f), w); a self-twin arc therefore gets 2w,
+matching the reference's special case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bits, dictionary
+from . import unitigs
+
+
+class PatchTable(NamedTuple):
+    """Canonical (K+1)-mer -> length-1 edge (reference KmerSetsPatch,
+    src/node2edge.c:419-462)."""
+
+    keys: jnp.ndarray   # (Pcap, W1) uint32 sorted canonical (K+1)-mers
+    edge: jnp.ndarray   # (Pcap,) int32 edge walked in canonical orientation
+    n: jnp.ndarray
+
+
+class ArcSet(NamedTuple):
+    """COO preArc table: from-edge, to-edge, multiplicity — the flat
+    replacement for the reference's per-edge preARC linked lists."""
+
+    from_ed: jnp.ndarray  # (Acap,) int32
+    to_ed: jnp.ndarray    # (Acap,) int32
+    mult: jnp.ndarray     # (Acap,) int32
+    n: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _patch_candidates(eg: unitigs.EdgeGraph, table: dictionary.KmerTable,
+                      k: int):
+    cap = table.capacity
+    e_cap = eg.length.shape[0]
+    keys = table.keys
+    rc = bits.reverse_complement(keys, k)
+    oriented = jnp.stack([keys, rc], axis=1).reshape(2 * cap, -1)
+
+    is_len1 = (eg.length == 1) & (jnp.arange(e_cap) < eg.n_edges)
+    from_km = oriented[jnp.clip(eg.from_node, 0)]
+    first_base = eg.seq_pool[jnp.clip(eg.seq_off, 0, eg.seq_pool.shape[0] - 1)]
+    kp = bits.append_base(from_km, first_base.astype(jnp.uint32), k)
+    can, use_rc = bits.canonical(kp, k + 1)
+    w1 = can.shape[-1]
+    sentinel = jnp.full((e_cap, w1), jnp.uint32(0xFFFFFFFF))
+    can = jnp.where(is_len1[:, None], can, sentinel)
+    val = jnp.where(use_rc, eg.twin, jnp.arange(e_cap, dtype=jnp.int32))
+    val = jnp.where(is_len1, val, -1)
+    n_len1 = jnp.sum(is_len1.astype(jnp.int32))
+    return can, val, n_len1
+
+
+def build_patch(eg: unitigs.EdgeGraph, table: dictionary.KmerTable,
+                k: int) -> PatchTable:
+    can, val, n_len1 = _patch_candidates(eg, table, k)
+    skeys, sval = dictionary._sort_by_keys(can, val)
+    n = int(n_len1)
+    cap = dictionary.round_up(max(n, 1))
+    return PatchTable(skeys[:cap], sval[:cap], jnp.int32(n))
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def thread_reads(seqs: jnp.ndarray, lengths: jnp.ndarray,
+                 table: dictionary.KmerTable, eg: unitigs.EdgeGraph,
+                 patch: PatchTable, k: int):
+    """Thread a padded read batch through the edge graph.
+
+    Returns flat arc candidates (from_ed, to_ed, valid) of shape
+    (R * 2 * num_windows,): one potential arc per path slot.
+    """
+    from ..ops import kmer as kmer_mod
+
+    r, l = seqs.shape
+    p = l - k + 1  # kmer windows per read
+
+    stream = kmer_mod.chop_reads(seqs, lengths, k)
+    rows = dictionary.lookup(table.keys, stream.kmers)
+    node_live = (rows >= 0) & ~_gather_or(table.deleted, rows, True)
+    u = jnp.where(node_live, 2 * rows + stream.is_rc.astype(jnp.int32), -1)
+    eid = _gather_or(eg.node_edge, u, -1)
+    eid = jnp.where(stream.valid & node_live, eid, -1)
+
+    interior = (eid >= 0).reshape(r, p)
+    vertexish = (stream.valid & node_live & (eid < 0)).reshape(r, p)
+    # Any in-read window that does not resolve to a live node breaks
+    # the path: deleted/missing kmers AND N-containing windows (the
+    # reference's InvalidKmer lookups fail the same way).
+    in_read = (jnp.arange(p)[None, :] + k) <= lengths[:, None]
+    barrier = in_read & ~(stream.valid & node_live).reshape(r, p)
+    eid = eid.reshape(r, p)
+
+    # (K+1)-mer patch lookups for adjacent vertex pairs
+    stream1 = kmer_mod.chop_reads(seqs, lengths, k + 1)
+    prow = dictionary.lookup(patch.keys, stream1.kmers)
+    pedge = _gather_or(patch.edge, prow, -1)
+    pedge = jnp.where(
+        (pedge >= 0) & stream1.is_rc,
+        _gather_or(eg.twin, jnp.clip(pedge, 0), -1), pedge)
+    pedge = jnp.where(stream1.valid, pedge, -1).reshape(r, p - 1)
+    pair_ok = vertexish[:, :-1] & vertexish[:, 1:] & (pedge >= 0)
+    pair_eid = jnp.where(pair_ok, pedge, -1)
+
+    # path slots: even slot 2j = position entry, odd slot 2j+1 = pair entry
+    slots_e = jnp.full((r, 2 * p), -1, jnp.int32)
+    # interior entry only where a new traversal starts (dedup runs)
+    prev_same = jnp.concatenate(
+        [jnp.zeros((r, 1), bool),
+         interior[:, :-1] & (eid[:, :-1] == eid[:, 1:])], axis=1)
+    is_entry_pos = interior & ~prev_same
+    slots_e = slots_e.at[:, 0::2].set(jnp.where(is_entry_pos, eid, -1))
+    slots_e = slots_e.at[:, 1::2].set(
+        jnp.concatenate([pair_eid, jnp.full((r, 1), -1, jnp.int32)], axis=1))
+
+    slots_bar = jnp.zeros((r, 2 * p), bool).at[:, 0::2].set(barrier)
+
+    # previous entry slot for every slot, via cumulative max of slot idx
+    slot_idx = jnp.arange(2 * p, dtype=jnp.int32)
+    entry_here = slots_e >= 0
+    marked = jnp.where(entry_here, slot_idx, -1)
+    prev_entry_slot_inclusive = jax.lax.associative_scan(
+        jnp.maximum, marked, axis=1)
+    prev_entry_slot = jnp.concatenate(
+        [jnp.full((r, 1), -1, jnp.int32),
+         prev_entry_slot_inclusive[:, :-1]], axis=1)
+
+    bar_prefix = jnp.cumsum(slots_bar.astype(jnp.int32), axis=1)
+
+    prev_ok = entry_here & (prev_entry_slot >= 0)
+    ps = jnp.clip(prev_entry_slot, 0)
+    prev_val = jnp.take_along_axis(slots_e, ps, axis=1)
+    # no barrier in (prev_slot, this_slot]
+    bar_at_prev = jnp.take_along_axis(bar_prefix, ps, axis=1)
+    clean = (bar_prefix - bar_at_prev) == 0
+    # An arc joins every adjacent entry pair — including A->A from a
+    # read that leaves and re-enters the same edge (the reference does
+    # the same: prlRead2path.c:200-236 adds arcs for all adjacent
+    # nonzero mix entries; only runs of interior kmers collapse).
+    arc_valid = prev_ok & clean
+    return (prev_val.reshape(-1), slots_e.reshape(-1),
+            arc_valid.reshape(-1))
+
+
+def _gather_or(x, idx, fill):
+    safe = jnp.clip(idx, 0, x.shape[0] - 1)
+    return jnp.where((idx >= 0) & (idx < x.shape[0]), x[safe], fill)
+
+
+@jax.jit
+def _count_device(from_ed, to_ed, valid, twin):
+    """Symmetrize (add1Arc semantics) then sort+segment-count."""
+    f = jnp.where(valid, from_ed, jnp.int32(2**30))
+    t = jnp.where(valid, to_ed, jnp.int32(2**30))
+    tw_f = _gather_or(twin, from_ed, 2**30)
+    tw_t = _gather_or(twin, to_ed, 2**30)
+    bf = jnp.where(valid, tw_t, jnp.int32(2**30))
+    bt = jnp.where(valid, tw_f, jnp.int32(2**30))
+    allf = jnp.concatenate([f, bf])
+    allt = jnp.concatenate([t, bt])
+    sf, st = jax.lax.sort((allf, allt), num_keys=2)
+    n_tot = sf.shape[0]
+    is_real = sf < 2**30
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (sf[1:] != sf[:-1]) | (st[1:] != st[:-1])])
+    first = first & is_real
+    seg = jnp.clip(jnp.cumsum(first.astype(jnp.int32)) - 1, 0, n_tot - 1)
+    mult = jax.ops.segment_sum(
+        is_real.astype(jnp.int32), seg, num_segments=n_tot)
+    n_arcs = jnp.sum(first.astype(jnp.int32))
+    uf = jnp.full(n_tot, -1, jnp.int32).at[
+        jnp.where(first, seg, n_tot)].set(sf, mode="drop")
+    ut = jnp.full(n_tot, -1, jnp.int32).at[
+        jnp.where(first, seg, n_tot)].set(st, mode="drop")
+    return uf, ut, mult, n_arcs
+
+
+def count_arcs(from_ed, to_ed, valid, twin) -> ArcSet:
+    """Host-orchestrated arc dedup/count (sizes read once)."""
+    uf, ut, mult, n_arcs = _count_device(from_ed, to_ed, valid, twin)
+    n = int(n_arcs)
+    cap = dictionary.round_up(max(n, 1))
+    live = jnp.arange(cap) < n
+    return ArcSet(
+        jnp.where(live, uf[:cap], -1),
+        jnp.where(live, ut[:cap], -1),
+        jnp.where(live, mult[:cap], 0),
+        jnp.int32(n))
+
+
+def merge_arcs(a: ArcSet, b: ArcSet, twin) -> ArcSet:
+    """Combine arc sets from two read batches (already symmetrized:
+    merge must NOT re-symmetrize, just re-sort and add)."""
+    f = jnp.concatenate([a.from_ed, b.from_ed])
+    t = jnp.concatenate([a.to_ed, b.to_ed])
+    m = jnp.concatenate([a.mult, b.mult])
+    valid = f >= 0
+    f = jnp.where(valid, f, 2**30)
+    t = jnp.where(valid, t, 2**30)
+    sf, st, sm = jax.lax.sort((f, t, m), num_keys=2)
+    n_tot = sf.shape[0]
+    is_real = sf < 2**30
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (sf[1:] != sf[:-1]) | (st[1:] != st[:-1])])
+    first = first & is_real
+    seg = jnp.clip(jnp.cumsum(first.astype(jnp.int32)) - 1, 0, n_tot - 1)
+    mult = jax.ops.segment_sum(
+        jnp.where(is_real, sm, 0), seg, num_segments=n_tot)
+    n = int(jnp.sum(first.astype(jnp.int32)))
+    uf = jnp.full(n_tot, -1, jnp.int32).at[
+        jnp.where(first, seg, n_tot)].set(sf, mode="drop")
+    ut = jnp.full(n_tot, -1, jnp.int32).at[
+        jnp.where(first, seg, n_tot)].set(st, mode="drop")
+    cap = dictionary.round_up(max(n, 1))
+    live = jnp.arange(cap) < n
+    return ArcSet(
+        jnp.where(live, uf[:cap], -1),
+        jnp.where(live, ut[:cap], -1),
+        jnp.where(live, mult[:cap], 0),
+        jnp.int32(n))

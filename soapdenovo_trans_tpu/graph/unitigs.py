@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import bits, dictionary
+from ..ops import bits, dictionary, ranking
 from . import dbg as dbg_mod
 
 MAX_EDGE_COV = 16000  # reference: src/inc/def.h:37
@@ -54,6 +54,7 @@ class EdgeGraph(NamedTuple):
     n_edges: jnp.ndarray    # () int32
     node_edge: jnp.ndarray  # (2cap,) int32 edge owning this interior node, or -1
     node_pos: jnp.ndarray   # (2cap,) int32 1-based position within edge
+    deleted: jnp.ndarray    # (Ecap,) bool — removed by a cleaning pass
 
 
 def _gather_or(x, idx, fill):
@@ -62,48 +63,7 @@ def _gather_or(x, idx, fill):
     return jnp.where(idx >= 0, x[safe], fill)
 
 
-@jax.jit
-def _rank_arcs(arc_prev: jnp.ndarray, exists: jnp.ndarray):
-    """List-rank the arc chains: returns (head, rank) per arc.
-
-    arc_prev[a] = predecessor arc id or -1 (head).  Cycles (closed
-    all-linear loops) are first broken at their minimum arc id.
-    """
-    a_total = arc_prev.shape[0]
-    steps = max(1, (a_total - 1).bit_length())
-    self_idx = jnp.arange(a_total, dtype=jnp.int32)
-
-    # --- pass 1: cycle detection via pointer doubling + min-id ---
-    parent = jnp.where(arc_prev >= 0, arc_prev, self_idx)
-    mn = self_idx
-
-    def det(i, carry):
-        parent, mn = carry
-        mn = jnp.minimum(mn, mn[parent])
-        return parent[parent], mn
-
-    parent, mn = jax.lax.fori_loop(0, steps, det, (parent, mn))
-    # A chain arc's parent converges to its head, which has
-    # arc_prev == -1.  On a cycle every reachable arc has a live
-    # predecessor (note an even cycle's parent converges to SELF, so
-    # testing parent==parent[parent] would misclassify it).
-    on_cycle = exists & (arc_prev[parent] >= 0)
-    is_cycle_head = on_cycle & (mn == self_idx)
-    arc_prev = jnp.where(is_cycle_head, -1, arc_prev)
-
-    # --- pass 2: ranking with heads fixed ---
-    parent = jnp.where(arc_prev >= 0, arc_prev, self_idx)
-    rank = jnp.where(arc_prev >= 0, 1, 0).astype(jnp.int32)
-
-    def body(i, carry):
-        parent, rank = carry
-        rank = rank + rank[parent]
-        return parent[parent], rank
-
-    parent, rank = jax.lax.fori_loop(0, steps, body, (parent, rank))
-    head = parent  # converged: self-loop at chain head
-    is_head = exists & (arc_prev < 0)
-    return head, rank, is_head
+_rank_arcs = jax.jit(ranking.list_rank)
 
 
 @jax.jit
@@ -202,7 +162,8 @@ def _extract_edges(graph: dbg_mod.DBG, table: dictionary.KmerTable,
         jnp.where(live_e, length, 0),
         jnp.where(live_e, cvg, 0),
         jnp.where(live_e, twin_eid, -1),
-        seq_off, seq_pool, n_edges, node_edge, node_pos)
+        seq_off, seq_pool, n_edges, node_edge, node_pos,
+        jnp.zeros(e_cap, bool))
 
 
 def condense(graph: dbg_mod.DBG, table: dictionary.KmerTable,
