@@ -1,0 +1,170 @@
+"""Command-line interface mirroring the reference binary's subcommands.
+
+Reference: main.c:49-106 dispatches pregraph/contig/map/scaff/all;
+flags per stage in pregraph.c:118-185, contig.c:311, map.c:115,
+scaffold.c:108, main.c:136.  Same flag letters, same defaults
+(global.h:102-116): K=23, -e 2, -M 1, -d 0, -L 100, -t 5.
+
+Usage:
+    python -m soapdenovo_trans_tpu all -s reads.config -o out -K 23
+    python -m soapdenovo_trans_tpu pregraph -s reads.config -o out
+    python -m soapdenovo_trans_tpu contig -g out
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("-s", dest="config", help="lib config file")
+    p.add_argument("-o", "-g", dest="out", required=True,
+                   help="output graph prefix")
+    p.add_argument("-K", dest="k", type=int, default=23,
+                   help="kmer size (odd, 13..127)")
+    p.add_argument("-p", dest="ncpu", type=int, default=8,
+                   help="(accepted for compatibility; parallelism is "
+                        "device-mesh driven)")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="soapdenovo-trans-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pg = sub.add_parser("pregraph", help="reads -> kmer/edge graph")
+    _add_common(pg)
+    pg.add_argument("-d", dest="low_kmer", type=int, default=0,
+                    help="delete kmers with frequency <= this")
+    pg.add_argument("-i", dest="minor_pct", type=int, default=5,
+                    help="minor-neighbor removal %% (dd)")
+
+    cg = sub.add_parser("contig", help="edge graph -> contigs")
+    cg.add_argument("-g", dest="out", required=True)
+    cg.add_argument("-e", dest="edge_cov", type=int, default=2,
+                    help="delete edges with coverage <= this")
+    cg.add_argument("-M", dest="merge_level", type=int, default=1,
+                    help="strength of kmer-graph bubble merging 0..3")
+    cg.add_argument("-q", dest="light_out", type=int, default=5)
+    cg.add_argument("-Q", dest="light_flow", type=int, default=2)
+    cg.add_argument("-H", dest="high_arc", type=int, default=200)
+
+    al = sub.add_parser("all", help="full pipeline")
+    _add_common(al)
+    al.add_argument("-d", dest="low_kmer", type=int, default=0)
+    al.add_argument("-i", dest="minor_pct", type=int, default=5)
+    al.add_argument("-e", dest="edge_cov", type=int, default=2)
+    al.add_argument("-M", dest="merge_level", type=int, default=1)
+    al.add_argument("-q", dest="light_out", type=int, default=5)
+    al.add_argument("-Q", dest="light_flow", type=int, default=2)
+    al.add_argument("-H", dest="high_arc", type=int, default=200)
+    al.add_argument("-L", dest="min_contig", type=int, default=100,
+                    help="minimum contig length for scaffolding")
+    al.add_argument("-F", dest="fill_gaps", action="store_true")
+    al.add_argument("-t", dest="max_transcripts", type=int, default=5)
+    return ap
+
+
+def _read_batches(cfg, batch_size=4096):
+    from .io import fastx
+
+    def factory():
+        return fastx.config_read_batches(cfg, batch_size)
+
+    return factory
+
+
+def run_pregraph_cmd(args):
+    from .io import libconfig, stagefiles
+    from .stages import pregraph as pg_stage
+
+    cfg = libconfig.parse_config(args.config)
+    if args.k % 2 == 0 or not (13 <= args.k <= 127):
+        sys.exit("K must be odd and within 13..127")
+    res = pg_stage.run_pregraph(
+        _read_batches(cfg), args.k,
+        low_freq_cutoff=getattr(args, "low_kmer", 0))
+    hist = pg_stage.kmer_freq_histogram(res.table)
+    stagefiles.write_kmer_freq(args.out + ".kmerFreq", hist)
+    stagefiles.write_pregraph_basic(
+        args.out + ".preGraphBasic",
+        n_vertex=int(res.table.n), k=args.k,
+        n_edge=int(res.edges.n_edges), max_read_len=cfg.max_rd_len)
+    with open(args.out + ".pregraph.pkl", "wb") as fh:
+        pickle.dump({
+            "k": res.k,
+            "table": _to_np(res.table),
+            "edges": _to_np(res.edges),
+            "arcs": _to_np(res.arcs),
+        }, fh)
+    print(f"[pregraph] wrote {args.out}.kmerFreq/.preGraphBasic/"
+          f".pregraph.pkl")
+    return res
+
+
+def _to_np(nt):
+    if hasattr(nt, "_fields"):  # NamedTuple (possibly nested)
+        return type(nt)(*[_to_np(x) for x in nt])
+    return np.asarray(nt)
+
+
+def _to_jnp(nt):
+    import jax.numpy as jnp
+
+    if hasattr(nt, "_fields"):
+        return type(nt)(*[_to_jnp(x) for x in nt])
+    return jnp.asarray(nt)
+
+
+def run_contig_cmd(args, res=None):
+    from .graph import arcs as arcs_mod
+    from .io import stagefiles
+    from .ops import dictionary
+    from .graph import unitigs
+    from .stages import contig as contig_stage
+
+    if res is None:
+        with open(args.out + ".pregraph.pkl", "rb") as fh:
+            data = pickle.load(fh)
+        k = data["k"]
+        table = _to_jnp(data["table"])
+        edges = _to_jnp(data["edges"])
+        aset = _to_jnp(data["arcs"])
+    else:
+        k, table, edges, aset = res.k, res.table, res.edges, res.arcs
+
+    params = contig_stage.ContigParams(
+        weak_cvg=10 * getattr(args, "edge_cov", 2),
+        merge_level=getattr(args, "merge_level", 1),
+        light_out_pct=getattr(args, "light_out", 5),
+        light_flow_pct=getattr(args, "light_flow", 2),
+        high_arc_multi=getattr(args, "high_arc", 200))
+    ctg = contig_stage.run_contig(edges, aset, k, params, table=table)
+    perm = stagefiles.write_contig_fasta(
+        args.out + ".contig", ctg, table, k, arcs=ctg.arcs)
+    stagefiles.write_contig_index(args.out + ".ContigIndex", ctg, k, perm)
+    with open(args.out + ".contig.pkl", "wb") as fh:
+        pickle.dump({"k": k, "contigs": _to_np(ctg)}, fh)
+    print(f"[contig] wrote {args.out}.contig/.ContigIndex")
+    return ctg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    if args.cmd == "pregraph":
+        run_pregraph_cmd(args)
+    elif args.cmd == "contig":
+        run_contig_cmd(args)
+    elif args.cmd == "all":
+        res = run_pregraph_cmd(args)
+        run_contig_cmd(args, res)
+    print(f"[done] total {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Stage 1 — pregraph: reads -> k-mer table -> unitig edge graph + preArcs.
+
+Drives the TPU-native equivalents of call_pregraph (reference
+src/pregraph.c:33-111): prlRead2HashTable (counting), the low-frequency
+k-mer filter (-d), kmer-level tip clipping, kmer2edges (condensation)
+and prlRead2edge (read->path preArcs).  Stage boundaries remain
+host-level (the reference writes files between stages; we keep the
+arrays and optionally write compatible files).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import arcs as arcs_mod
+from ..graph import dbg as dbg_mod
+from ..graph import unitigs
+from ..ops import dictionary, kmer
+
+
+@dataclasses.dataclass
+class PregraphResult:
+    table: dictionary.KmerTable
+    graph: dbg_mod.DBG
+    edges: unitigs.EdgeGraph
+    patch: arcs_mod.PatchTable
+    arcs: arcs_mod.ArcSet
+    k: int
+
+
+def count_reads(batches, k: int) -> dictionary.KmerTable:
+    """Pass 1: k-mer counting with per-batch build + merge
+    (reference prlRead2HashTable's batch loop, prlHashReads.c:338)."""
+    table: Optional[dictionary.KmerTable] = None
+    n_reads = 0
+    for codes, lengths, _lib in batches:
+        stream = kmer.chop_reads(jnp.asarray(codes), jnp.asarray(lengths), k)
+        t = dictionary.build(stream)
+        table = t if table is None else dictionary.merge(table, t)
+        n_reads += int((np.asarray(lengths) > 0).sum())
+    if table is None:
+        raise ValueError("no reads")
+    return table
+
+
+def delete_low_freq(table: dictionary.KmerTable,
+                    cutoff: int) -> dictionary.KmerTable:
+    """-d: mark k-mers with count <= cutoff deleted (reference
+    thread_delow, prlHashReads.c:844)."""
+    if cutoff <= 0:
+        return table
+    deleted = table.deleted | (table.count <= cutoff)
+    live = jnp.arange(table.capacity) < table.n
+    return table._replace(deleted=deleted & live | table.deleted)
+
+
+def run_pregraph(batch_iter_factory, k: int,
+                 low_freq_cutoff: int = 0,
+                 clip_tips: bool = True) -> PregraphResult:
+    """batch_iter_factory: zero-arg callable returning a fresh iterator
+    of (codes, lengths, lib) batches — called twice (two read passes,
+    like the reference)."""
+    t0 = time.time()
+    table = count_reads(batch_iter_factory(), k)
+    print(f"[pregraph] {int(table.n)} distinct kmers "
+          f"({time.time() - t0:.1f}s)")
+    table = delete_low_freq(table, low_freq_cutoff)
+
+    if clip_tips:
+        from ..graph import kmer_clean
+        t0 = time.time()
+        table = kmer_clean.clip_tip_kmers(table, k)
+        print(f"[pregraph] kmer tip clipping done ({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    graph = dbg_mod.build_dbg(table, k)
+    edges = unitigs.condense(graph, table, k)
+    print(f"[pregraph] {int(edges.n_edges)} edges "
+          f"({time.time() - t0:.1f}s)")
+
+    patch = arcs_mod.build_patch(edges, table, k)
+    t0 = time.time()
+    aset: Optional[arcs_mod.ArcSet] = None
+    for codes, lengths, _lib in batch_iter_factory():
+        f, t, v = arcs_mod.thread_reads(
+            jnp.asarray(codes), jnp.asarray(lengths), table, edges, patch, k)
+        batch_arcs = arcs_mod.count_arcs(f, t, v, edges.twin)
+        aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
+            aset, batch_arcs, edges.twin)
+    print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
+    return PregraphResult(table, graph, edges, patch, aset, k)
+
+
+def kmer_freq_histogram(table: dictionary.KmerTable,
+                        max_freq: int = 256) -> np.ndarray:
+    """.kmerFreq content (reference freqStat, prlHashReads.c:994):
+    histogram of k-mer occurrence counts, clamped at max_freq."""
+    counts = np.asarray(table.count[: int(table.n)])
+    clamped = np.clip(counts, 0, max_freq - 1)
+    return np.bincount(clamped, minlength=max_freq)

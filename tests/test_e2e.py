@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests through the CLI surface: simulate
+RNA-seq reads from known transcripts, run `pregraph` + `contig`,
+assert transcript recovery from the .contig FASTA."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from soapdenovo_trans_tpu.ops import bits
+from soapdenovo_trans_tpu.io import fastx
+from soapdenovo_trans_tpu import cli
+
+
+def unique_kmer_seq(rng, n, k):
+    while True:
+        s = "".join(rng.choice(list("ACGT"), size=n))
+        cans = set()
+        ok = True
+        for j in range(n - k + 1):
+            win = s[j : j + k]
+            can = min(win, bits.revcomp_str(win))
+            if can in cans:
+                ok = False
+                break
+            cans.add(can)
+        if ok:
+            return s
+
+
+def simulate_reads(rng, transcript, read_len=50, coverage=20,
+                   error_rate=0.0):
+    n_reads = int(len(transcript) * coverage / read_len)
+    # guarantee terminal kmers are sampled, error-free (the assembler
+    # can only build what the reads contain)
+    reads = [transcript[:read_len] for _ in range(3)] + \
+            [transcript[-read_len:] for _ in range(3)]
+    for _ in range(n_reads):
+        start = int(rng.integers(0, len(transcript) - read_len + 1))
+        r = transcript[start : start + read_len]
+        if error_rate > 0:
+            chars = list(r)
+            for i in range(len(chars)):
+                if rng.random() < error_rate:
+                    chars[i] = "ACGT"[int(rng.integers(4))]
+            r = "".join(chars)
+        if rng.random() < 0.5:
+            r = bits.revcomp_str(r)
+        reads.append(r)
+    return reads
+
+
+def write_inputs(tmpdir, reads, read_len):
+    fa = os.path.join(tmpdir, "reads.fa")
+    fastx.write_fasta(fa, [(f"read{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(tmpdir, "reads.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len={read_len}\n[LIB]\nasm_flags=3\nf={fa}\n")
+    return cfg
+
+
+def read_contig_fasta(path):
+    seqs, cur = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+            elif line:
+                cur.append(line)
+    if cur:
+        seqs.append("".join(cur))
+    return seqs
+
+
+def canon(s):
+    return min(s, bits.revcomp_str(s))
+
+
+def run_pipeline(tmpdir, cfg, k=21):
+    out = os.path.join(tmpdir, "asm")
+    cli.main(["all", "-s", cfg, "-o", out, "-K", str(k)])
+    return read_contig_fasta(out + ".contig")
+
+
+def test_single_transcript_error_free(rng, tmp_path):
+    t = unique_kmer_seq(rng, 400, 21)
+    reads = simulate_reads(rng, t, read_len=50, coverage=25)
+    cfg = write_inputs(str(tmp_path), reads, 50)
+    contigs = run_pipeline(str(tmp_path), cfg)
+    assert canon(t) in {canon(c) for c in contigs}
+
+
+def test_single_transcript_with_errors(rng, tmp_path):
+    t = unique_kmer_seq(rng, 400, 21)
+    reads = simulate_reads(rng, t, read_len=50, coverage=40,
+                           error_rate=0.005)
+    cfg = write_inputs(str(tmp_path), reads, 50)
+    contigs = run_pipeline(str(tmp_path), cfg)
+    # error kmers must be cleaned away; the true transcript contig
+    # must survive intact
+    cc = {canon(c) for c in contigs}
+    assert canon(t) in cc, f"lengths found: {[len(c) for c in contigs]}"
+
+
+def test_two_isoforms_shared_exon(rng, tmp_path):
+    # two transcripts sharing a middle exon; assembler should produce
+    # contigs covering all three segments
+    e1 = unique_kmer_seq(rng, 150, 21)
+    shared = unique_kmer_seq(rng, 120, 21)
+    e3 = unique_kmer_seq(rng, 150, 21)
+    t1 = e1 + shared
+    t2 = shared + e3
+    reads = (simulate_reads(rng, t1, 50, 20) +
+             simulate_reads(rng, t2, 50, 20))
+    cfg = write_inputs(str(tmp_path), reads, 50)
+    contigs = run_pipeline(str(tmp_path), cfg)
+    joined = "#".join(canon(c) for c in contigs)
+    # every true segment must be findable in some contig
+    for seg in (e1[: 150 - 21], shared, e3[21:]):
+        found = any(seg in c or bits.revcomp_str(seg) in c
+                    for c in contigs)
+        assert found, (len(seg), [len(c) for c in contigs])
