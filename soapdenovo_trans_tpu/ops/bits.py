@@ -128,6 +128,28 @@ def _shr_const(km: jnp.ndarray, s: int) -> jnp.ndarray:
     return lo | carry
 
 
+def widen(km: jnp.ndarray, w_out: int) -> jnp.ndarray:
+    """Prepend zero words so the value occupies w_out uint32 lanes."""
+    w_in = km.shape[-1]
+    if w_out == w_in:
+        return km
+    assert w_out > w_in
+    pad = jnp.zeros(km.shape[:-1] + (w_out - w_in,), dtype=km.dtype)
+    return jnp.concatenate([pad, km], axis=-1)
+
+
+def shl_const(km: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Shift the multiword value left by a static 0 <= s < 32 bits
+    (overflow beyond word 0 is dropped — widen() first if needed)."""
+    if s == 0:
+        return km
+    hi = km << s
+    carry = km >> (32 - s)
+    carry = jnp.concatenate(
+        [carry[..., 1:], jnp.zeros_like(carry[..., :1])], axis=-1)
+    return hi | carry
+
+
 def reverse_complement(km: jnp.ndarray, k: int) -> jnp.ndarray:
     """Branchless reverse complement.
 

@@ -73,36 +73,65 @@ def round_up(x: int, m: int = 128) -> int:
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _build_device(keys, prev, nxt, valid):
     """Sort + segment-reduce one k-mer stream.  Returns full-capacity
-    (padded) arrays plus the number of unique entries."""
+    (padded) arrays plus the number of unique entries.
+
+    Perf-critical trick: the 7-bit payload (valid:1, prev:3, next:3)
+    is folded into spare low bits of a widened key, so XLA's variadic
+    sort moves 2-3 uint32 operands instead of W keys + 3 payload
+    columns — the sort is the dominant cost of counting on TPU and
+    scales with total bytes moved."""
     n, w = keys.shape
-    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
-    prev = jnp.where(valid, prev, jnp.uint8(4))
-    nxt = jnp.where(valid, nxt, jnp.uint8(4))
-    skeys, sprev, snxt, svalid = _sort_by_keys(keys, prev, nxt, valid)
+    wp = (32 * w + 7 + 31) // 32  # lanes for key<<7 | payload
+    payload = (valid.astype(jnp.uint32) << 6) \
+        | (prev.astype(jnp.uint32) << 3) | nxt.astype(jnp.uint32)
+    packed = bits.shl_const(bits.widen(keys, wp), 7)
+    packed = packed.at[..., -1].set(packed[..., -1] | payload)
+    packed = jnp.where(valid[:, None], packed, jnp.uint32(0xFFFFFFFF))
+
+    res = jax.lax.sort(
+        tuple(packed[:, i] for i in range(wp)), num_keys=wp)
+    spacked = jnp.stack(res, axis=-1)
+    sp = spacked[:, -1]
+    svalid = ((sp >> 6) & 1).astype(bool) & \
+        ~jnp.all(spacked == jnp.uint32(0xFFFFFFFF), axis=-1)
+    sprev = ((sp >> 3) & 7).astype(jnp.uint8)
+    snxt = (sp & 7).astype(jnp.uint8)
+    skeys = bits._shr_const(spacked, 7)[:, wp - w:]
 
     first = jnp.concatenate(
         [jnp.ones((1,), bool),
          jnp.any(skeys[1:] != skeys[:-1], axis=-1)]
     )
     first = first & svalid  # sentinel block contributes nothing
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # -1 for leading invalids (none: valid sort first since sentinel is max)
-    num_unique = jnp.maximum(seg[-1] + 1, 0) * jnp.any(svalid)
+    num_unique = jnp.sum(first.astype(jnp.int32))
+    n_valid = jnp.sum(svalid.astype(jnp.int32))  # valid rows sort first
+
+    # Scatter-free segment reduction: TPU scatters/segment_sums are
+    # ~100ms per pass at 10M rows, so instead (a) one cheap 1-operand
+    # sort compacts head positions, (b) per-segment sums become
+    # differences of prefix sums gathered at the segment boundaries.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    hkey = jnp.where(first, idx, n)
+    (hidx,) = jax.lax.sort((hkey,), num_keys=1)  # head row of segment j
+    nxt_h = jnp.concatenate([hidx[1:], jnp.full((1,), n, jnp.int32)])
+    seg_end = jnp.minimum(nxt_h, n_valid)
+    count = jnp.maximum(seg_end - hidx, 0)
+
+    live_head = hidx < n
+    uniq_keys = jnp.where(
+        live_head[:, None],
+        skeys[jnp.clip(hidx, 0, n - 1)], jnp.uint32(0xFFFFFFFF))
 
     ones = svalid.astype(jnp.int32)
-    seg_c = jnp.clip(seg, 0, n - 1)
-    count = jax.ops.segment_sum(ones, seg_c, num_segments=n)
-    l_cov = jnp.stack(
-        [jax.ops.segment_sum(ones * (sprev == b), seg_c, num_segments=n)
-         for b in range(4)], axis=-1)
-    r_cov = jnp.stack(
-        [jax.ops.segment_sum(ones * (snxt == b), seg_c, num_segments=n)
-         for b in range(4)], axis=-1)
-    # Compact unique keys to the front (segment heads scattered by seg id).
-    uniq_keys = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
-    src_rows = jnp.where(first, seg_c, n - 1)  # route non-heads harmlessly
-    # scatter head rows: uniq_keys[seg[i]] = skeys[i] where first[i]
-    uniq_keys = uniq_keys.at[jnp.where(first, seg_c, n + 0 * seg_c)].set(
-        skeys, mode="drop")
+    onehot = jnp.concatenate(
+        [jnp.stack([ones * (sprev == b) for b in range(4)], axis=-1),
+         jnp.stack([ones * (snxt == b) for b in range(4)], axis=-1)],
+        axis=-1)  # (n, 8)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(onehot, axis=0)])
+    cov = prefix[seg_end] - prefix[jnp.clip(hidx, 0, n)]
+    l_cov = jnp.where(live_head[:, None], cov[:, :4], 0)
+    r_cov = jnp.where(live_head[:, None], cov[:, 4:], 0)
     return uniq_keys, count, l_cov, r_cov, num_unique
 
 

@@ -66,7 +66,10 @@ def chop_reads(seqs: jnp.ndarray, lengths: jnp.ndarray, k: int) -> KmerStream:
     def init_step(km, j):
         return bits.next_kmer(km, seqs[:, j].astype(jnp.uint32), k), None
 
-    km0, _ = jax.lax.scan(init_step, bits.zero(k, (r,)), jnp.arange(k))
+    # derive the zero from seqs so the carry keeps seqs' device-varying
+    # axes when chop_reads runs inside shard_map
+    zero0 = bits.zero(k, (r,)) | (seqs[:, :1].astype(jnp.uint32) & 0)
+    km0, _ = jax.lax.scan(init_step, zero0, jnp.arange(k))
     rc0 = bits.reverse_complement(km0, k)
 
     def roll(carry, j):

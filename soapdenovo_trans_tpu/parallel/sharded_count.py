@@ -1,0 +1,227 @@
+"""Multi-chip k-mer counting over a device mesh.
+
+The scale plan (SURVEY.md §2.7): reads are DATA-parallel over the
+mesh, the k-mer table is SPACE-sharded by key prefix — the TP analog;
+a mouse-scale (~30GB) graph must live in aggregate HBM.  This module
+implements the routed counting step:
+
+    shard_map over mesh axis "shards":
+      1. chop local read batch -> canonical k-mer stream   (local)
+      2. owner = top used bits of the canonical key        (local)
+      3. bucket stream by owner, pad to a static bucket    (local sort)
+      4. jax.lax.all_to_all routes buckets to owners       (ICI)
+      5. owner sorts + segment-reduces its received k-mers (local)
+
+which replaces the reference's "every worker scans the whole shared
+buffer and takes its own" scheme (prlHashReads.c:79-92) with an
+explicit ICI collective.  Prefix sharding keeps each shard's keys a
+contiguous sorted range, so a global lookup is: route query to
+owner (same all_to_all) + local bisection.
+
+Canonical keys skew low (min of value and revcomp), so prefix shards
+are imbalanced up to ~2x; bucket capacity defaults generous and an
+overflow counter reports drops (production tuning: quantile split
+points — tracked for a later round).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import bits, dictionary, kmer
+
+AXIS = "shards"
+
+
+class ShardedTable(NamedTuple):
+    """Per-shard sorted unique k-mers (global order = shard-major)."""
+
+    keys: jnp.ndarray    # (D, cap, W) uint32, each shard ascending
+    count: jnp.ndarray   # (D, cap) int32
+    l_cov: jnp.ndarray   # (D, cap, 4) int32
+    r_cov: jnp.ndarray   # (D, cap, 4) int32
+    n: jnp.ndarray       # (D,) int32 live rows per shard
+    dropped: jnp.ndarray  # (D,) int32 overflowed records (should be 0)
+
+
+def _owner_bits(k: int, n_shards: int):
+    """How to extract the owner shard from word 0 of a canonical key."""
+    w = bits.words_for_k(k)
+    used = 2 * k - 32 * (w - 1)  # live bits in the top word
+    shard_bits = max(1, (n_shards - 1).bit_length())
+    assert used >= shard_bits, (
+        f"K={k} top word has {used} bits < {shard_bits} shard bits")
+    return used - shard_bits
+
+
+def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
+    """Build the per-shard counting function for shard_map.
+
+    Returns f(seqs_local, lengths_local) -> shard of ShardedTable.
+    Static geometry: bucket_cap per-destination records, out_cap
+    unique rows per shard.
+    """
+    w = bits.words_for_k(k)
+    shift = _owner_bits(k, n_shards)
+
+    def step(seqs, lengths):
+        stream = kmer.chop_reads(seqs, lengths, k)
+        n = stream.kmers.shape[0]
+        me = jax.lax.axis_index(AXIS)
+        owner = (stream.kmers[:, 0] >> shift).astype(jnp.int32)
+        owner = jnp.where(stream.valid, jnp.minimum(owner, n_shards - 1),
+                          n_shards)  # invalid -> drop bucket
+
+        # stable-sort records by owner, then slot into fixed buckets
+        order_key = owner
+        skey, skm0 = jax.lax.sort(
+            (order_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        perm = skm0
+        s_owner = skey
+        s_kmers = stream.kmers[perm]
+        s_prev = stream.prev[perm]
+        s_next = stream.next[perm]
+        s_valid = stream.valid[perm] & (s_owner < n_shards)
+
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), s_owner[1:] != s_owner[:-1]])
+        # position within bucket = index - start(owner)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        start_at = jnp.where(first, idx, 0)
+        start = jax.lax.associative_scan(jnp.maximum, start_at)
+        slot = idx - start
+        dropped = jnp.sum((slot >= bucket_cap) & s_valid)
+        dest = jnp.where(
+            s_valid & (slot < bucket_cap),
+            s_owner * bucket_cap + slot,
+            n_shards * bucket_cap)
+
+        send_k = jnp.full((n_shards * bucket_cap + 1, w),
+                          jnp.uint32(0xFFFFFFFF)
+                          ).at[dest].set(s_kmers, mode="drop")
+        send_p = jnp.full(n_shards * bucket_cap + 1, 4, jnp.uint8
+                          ).at[dest].set(s_prev, mode="drop")
+        send_x = jnp.full(n_shards * bucket_cap + 1, 4, jnp.uint8
+                          ).at[dest].set(s_next, mode="drop")
+        send_v = jnp.zeros(n_shards * bucket_cap + 1, bool
+                           ).at[dest].set(s_valid, mode="drop")
+
+        def a2a(x):
+            xs = x[: n_shards * bucket_cap].reshape(
+                (n_shards, bucket_cap) + x.shape[1:])
+            return jax.lax.all_to_all(
+                xs, AXIS, split_axis=0, concat_axis=0, tiled=False)
+
+        rk = a2a(send_k).reshape(-1, w)
+        rp = a2a(send_p).reshape(-1)
+        rx = a2a(send_x).reshape(-1)
+        rv = a2a(send_v).reshape(-1)
+
+        # local sort + segment reduce (same core as dictionary.build)
+        m = rk.shape[0]
+        rk = jnp.where(rv[:, None], rk, jnp.uint32(0xFFFFFFFF))
+        ops = tuple(rk[:, i] for i in range(w)) + (rp, rx, rv)
+        res = jax.lax.sort(ops, num_keys=w)
+        sk = jnp.stack(res[:w], axis=-1)
+        sp, sx, sv = res[w], res[w + 1], res[w + 2]
+        firstu = jnp.concatenate(
+            [jnp.ones(1, bool), jnp.any(sk[1:] != sk[:-1], axis=-1)])
+        firstu = firstu & sv
+        seg = jnp.clip(jnp.cumsum(firstu.astype(jnp.int32)) - 1, 0, m - 1)
+        ones = sv.astype(jnp.int32)
+        count = jax.ops.segment_sum(ones, seg, num_segments=m)
+        l_cov = jnp.stack(
+            [jax.ops.segment_sum(ones * (sp == b), seg, num_segments=m)
+             for b in range(4)], axis=-1)
+        r_cov = jnp.stack(
+            [jax.ops.segment_sum(ones * (sx == b), seg, num_segments=m)
+             for b in range(4)], axis=-1)
+        uniq = jnp.full((m, w), jnp.uint32(0xFFFFFFFF)).at[
+            jnp.where(firstu, seg, m)].set(sk, mode="drop")
+        n_unique = jnp.sum(firstu.astype(jnp.int32))
+
+        def fit(x, fill):
+            pad_shape = (out_cap - min(out_cap, m),) + x.shape[1:]
+            out = x[:out_cap]
+            if pad_shape[0]:
+                out = jnp.concatenate(
+                    [out, jnp.full(pad_shape, fill, x.dtype)])
+            return out
+
+        live = jnp.arange(out_cap) < n_unique
+        return (
+            fit(uniq, 0xFFFFFFFF)[None],
+            jnp.where(live, fit(count, 0), 0)[None],
+            jnp.clip(jnp.where(live[:, None], fit(l_cov, 0), 0),
+                     0, dictionary.MAX_KMER_COV)[None],
+            jnp.clip(jnp.where(live[:, None], fit(r_cov, 0), 0),
+                     0, dictionary.MAX_KMER_COV)[None],
+            n_unique[None],
+            dropped[None],
+        )
+
+    return step
+
+
+def make_sharded_counter(mesh: Mesh, k: int, batch: int, read_len: int,
+                         bucket_cap: int | None = None,
+                         out_cap: int | None = None):
+    """jit-compiled sharded counting step over `mesh` (axis 'shards').
+
+    seqs: (D*batch, read_len) uint8, lengths: (D*batch,) — sharded on
+    axis 0.  Returns a ShardedTable.
+    """
+    d = mesh.shape[AXIS]
+    windows = read_len - k + 1
+    n_local = batch * windows
+    # generous defaults: 2x average for skew
+    bucket_cap = bucket_cap or max(128, (2 * n_local) // d)
+    out_cap = out_cap or dictionary.round_up(d * bucket_cap)
+
+    step = count_step(k, d, bucket_cap, out_cap)
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None, None),
+                   P(AXIS, None, None), P(AXIS), P(AXIS)))
+
+    @jax.jit
+    def run(seqs, lengths):
+        return ShardedTable(*mapped(seqs, lengths))
+
+    return run
+
+
+def gather_to_table(st: ShardedTable) -> dictionary.KmerTable:
+    """Concatenate shard ranges into a single host-side KmerTable
+    (prefix sharding => shard-major concatenation is globally sorted).
+    For graph passes that currently run single-device."""
+    d, cap, w = st.keys.shape
+    ks, cs, ls, rs = [], [], [], []
+    for s in range(d):
+        n = int(st.n[s])
+        ks.append(np.asarray(st.keys[s][:n]))
+        cs.append(np.asarray(st.count[s][:n]))
+        ls.append(np.asarray(st.l_cov[s][:n]))
+        rs.append(np.asarray(st.r_cov[s][:n]))
+    keys = np.concatenate(ks)
+    n_tot = keys.shape[0]
+    capacity = dictionary.round_up(max(n_tot, 1))
+    pad = capacity - n_tot
+    keys = np.concatenate([keys, np.full((pad, w), 0xFFFFFFFF, np.uint32)])
+    count = np.concatenate([np.concatenate(cs),
+                            np.zeros(pad, np.int32)])
+    l_cov = np.concatenate([np.concatenate(ls),
+                            np.zeros((pad, 4), np.int32)])
+    r_cov = np.concatenate([np.concatenate(rs),
+                            np.zeros((pad, 4), np.int32)])
+    return dictionary.KmerTable(
+        jnp.asarray(keys), jnp.asarray(count), jnp.asarray(l_cov),
+        jnp.asarray(r_cov), jnp.int32(n_tot),
+        jnp.zeros(capacity, bool))

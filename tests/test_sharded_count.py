@@ -1,0 +1,75 @@
+"""Sharded counting over an 8-device virtual mesh must reproduce the
+single-device dictionary exactly (shard-count invariance — the key
+multi-chip property per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from soapdenovo_trans_tpu.ops import bits, dictionary, kmer
+from soapdenovo_trans_tpu.parallel import sharded_count
+
+K = 23
+
+
+def make_reads(rng, n_reads, read_len):
+    seqs = rng.integers(0, 4, size=(n_reads, read_len)).astype(np.uint8)
+    lens = rng.integers(K, read_len + 1, size=n_reads).astype(np.int32)
+    # some Ns sprinkled in
+    mask = rng.random((n_reads, read_len)) < 0.01
+    seqs[mask] = 4
+    return seqs, lens
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single(rng):
+    d = 8
+    batch = 16
+    read_len = 60
+    mesh = Mesh(np.array(jax.devices()[:d]), (sharded_count.AXIS,))
+    seqs, lens = make_reads(rng, d * batch, read_len)
+
+    run = sharded_count.make_sharded_counter(mesh, K, batch, read_len)
+    sharding = NamedSharding(mesh, P(sharded_count.AXIS, None))
+    st = run(jax.device_put(jnp.asarray(seqs), sharding),
+             jax.device_put(jnp.asarray(lens),
+                            NamedSharding(mesh, P(sharded_count.AXIS))))
+    assert int(jnp.sum(st.dropped)) == 0
+    merged = sharded_count.gather_to_table(st)
+
+    stream = kmer.chop_reads(jnp.asarray(seqs), jnp.asarray(lens), K)
+    ref = dictionary.build(stream)
+
+    n = int(ref.n)
+    assert int(merged.n) == n
+    assert np.array_equal(np.asarray(merged.keys[:n]),
+                          np.asarray(ref.keys[:n]))
+    assert np.array_equal(np.asarray(merged.count[:n]),
+                          np.asarray(ref.count[:n]))
+    assert np.array_equal(np.asarray(merged.l_cov[:n]),
+                          np.asarray(ref.l_cov[:n]))
+    assert np.array_equal(np.asarray(merged.r_cov[:n]),
+                          np.asarray(ref.r_cov[:n]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_shard_count_invariance(rng):
+    """Same data, different shard counts -> same global table."""
+    read_len = 50
+    seqs, lens = make_reads(rng, 32, read_len)
+    tables = []
+    for d in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:d]), (sharded_count.AXIS,))
+        run = sharded_count.make_sharded_counter(mesh, K, 32 // d, read_len)
+        sharding = NamedSharding(mesh, P(sharded_count.AXIS, None))
+        st = run(jax.device_put(jnp.asarray(seqs), sharding),
+                 jax.device_put(jnp.asarray(lens),
+                                NamedSharding(mesh, P(sharded_count.AXIS))))
+        tables.append(sharded_count.gather_to_table(st))
+    a, b = tables
+    n = int(a.n)
+    assert int(b.n) == n
+    assert np.array_equal(np.asarray(a.keys[:n]), np.asarray(b.keys[:n]))
+    assert np.array_equal(np.asarray(a.count[:n]), np.asarray(b.count[:n]))
