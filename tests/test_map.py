@@ -1,0 +1,131 @@
+"""Map stage: read -> contig placement voting
+(reference parse1read, src/prlRead2Ctg.c:233-354)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from soapdenovo_trans_tpu.ops import bits, dictionary, kmer
+from soapdenovo_trans_tpu.graph import dbg as dbg_mod
+from soapdenovo_trans_tpu.graph import unitigs, arcs, contig_merge
+from soapdenovo_trans_tpu.stages import map as map_stage
+
+K = 15
+
+
+def unique_kmer_seq(rng, n, k=K):
+    while True:
+        s = "".join(rng.choice(list("ACGT"), size=n))
+        cans = set()
+        ok = True
+        for j in range(n - k + 1):
+            win = s[j : j + k]
+            can = min(win, bits.revcomp_str(win))
+            if can in cans:
+                ok = False
+                break
+            cans.add(can)
+        if ok:
+            return s
+
+
+def assemble_contigs(seqs, k=K):
+    maxlen = max(len(s) for s in seqs)
+    padded = np.full((len(seqs), maxlen), 4, np.uint8)
+    lens = []
+    for i, s in enumerate(seqs):
+        padded[i, : len(s)] = bits.encode_seq(s)
+        lens.append(len(s))
+    padded = jnp.asarray(padded)
+    lens = jnp.asarray(lens)
+    stream = kmer.chop_reads(padded, lens, k)
+    table = dictionary.build(stream)
+    graph = dbg_mod.build_dbg(table, k)
+    eg = unitigs.condense(graph, table, k)
+    patch = arcs.build_patch(eg, table, k)
+    f, t, v = arcs.thread_reads(padded, lens, table, eg, patch, k)
+    aset = arcs.count_arcs(f, t, v, eg.twin)
+    ctg = contig_merge.concatenate(eg, aset)
+    return table, ctg
+
+
+def pad(reads):
+    maxlen = max(len(s) for s in reads)
+    padded = np.full((len(reads), maxlen), 4, np.uint8)
+    lens = []
+    for i, s in enumerate(reads):
+        padded[i, : len(s)] = bits.encode_seq(s)
+        lens.append(len(s))
+    return jnp.asarray(padded), jnp.asarray(lens)
+
+
+def test_exact_placement(rng):
+    t = unique_kmer_seq(rng, 200)
+    table, ctg = assemble_contigs([t])
+    index = map_stage.build_contig_index(ctg, table, K)
+    seqs = contig_merge.contig_sequences(ctg, table, K)
+    # which contig row is the forward (t) one?
+    fwd = 0 if seqs[0] == t else 1
+    reads = [t[30:80], t[100:150], bits.revcomp_str(t[50:100])]
+    padded, lens = pad(reads)
+    pl = map_stage.map_reads(padded, lens, index, K, map_len=32)
+    ctgs = np.asarray(pl.ctg)
+    poss = np.asarray(pl.pos)
+    revs = np.asarray(pl.reverse)
+    # forward reads: mapped to some strand with consistent position
+    for i, expect_pos in enumerate([30, 100]):
+        c = ctgs[i]
+        assert c >= 0
+        cseq = seqs[c]
+        L = len(reads[i])
+        assert cseq[poss[i] : poss[i] + L] == reads[i], (i, poss[i])
+    # rc read maps too, position consistent on whichever strand chosen
+    c = ctgs[2]
+    assert c >= 0
+    assert seqs[c][poss[2] : poss[2] + 50] == reads[2]
+
+
+def test_multi_not_met(rng):
+    t = unique_kmer_seq(rng, 200)
+    table, ctg = assemble_contigs([t])
+    index = map_stage.build_contig_index(ctg, table, K)
+    # read with only 3 matching kmers (17bp: 3 kmers < multi 5)
+    reads = [t[30:47]]
+    padded, lens = pad(reads)
+    pl = map_stage.map_reads(padded, lens, index, K, map_len=32)
+    assert int(pl.ctg[0]) == -1
+
+
+def test_ambiguous_kmers_dropped(rng):
+    # Y-branch: the junction vertex kmer ends contig P and starts both
+    # branch contigs -> occurs multiple times -> ambiguous -> dropped
+    p = unique_kmer_seq(rng, 80)
+    t1 = p + "A" + unique_kmer_seq(rng, 40)
+    t2 = p + "C" + unique_kmer_seq(rng, 40)
+    table, ctg = assemble_contigs([t1, t2])
+    index = map_stage.build_contig_index(ctg, table, K)
+    n = int(index.n)
+    keys = np.asarray(index.keys[:n])
+    idx_kmers = {bits.kmer_to_string(keys[i], K) for i in range(n)}
+    junction = p[-K:]
+    assert min(junction, bits.revcomp_str(junction)) not in idx_kmers
+    # a mid-P kmer occurs once and IS in the index
+    mid = p[30 : 30 + K]
+    assert min(mid, bits.revcomp_str(mid)) in idx_kmers
+
+
+def test_footprint_gap_spanning(rng):
+    # a read overlapping two contigs qualifies on both -> footprint
+    t1 = unique_kmer_seq(rng, 120)
+    t2 = unique_kmer_seq(rng, 120)
+    table, ctg = assemble_contigs([t1, t2])
+    index = map_stage.build_contig_index(ctg, table, K)
+    read = t1[-30:] + t2[:30]  # 30bp on each: 16 kmers per side
+    padded, lens = pad([read])
+    pl = map_stage.map_reads(padded, lens, index, K, map_len=60)
+    # with map_len=60, multi = max(5, 60-15+1)=46 > 16 => no single map
+    assert int(pl.ctg[0]) == -1
+    pl2 = map_stage.map_reads(padded, lens, index, K, map_len=20)
+    # multi = max(5, 20-15+1)=6 <= 16 votes per side => qualify on both
+    assert bool(pl2.footprint[0])
+    assert int(pl2.ctg[0]) >= 0
