@@ -53,6 +53,15 @@ def build_parser():
     cg.add_argument("-Q", dest="light_flow", type=int, default=2)
     cg.add_argument("-H", dest="high_arc", type=int, default=200)
 
+    mp = sub.add_parser("map", help="reads -> contig placements")
+    _add_common(mp)
+
+    sc = sub.add_parser("scaff", help="links -> transcripts")
+    sc.add_argument("-g", dest="out", required=True)
+    sc.add_argument("-L", dest="min_contig", type=int, default=100)
+    sc.add_argument("-t", dest="max_transcripts", type=int, default=5)
+    sc.add_argument("-F", dest="fill_gaps", action="store_true")
+
     al = sub.add_parser("all", help="full pipeline")
     _add_common(al)
     al.add_argument("-d", dest="low_kmer", type=int, default=0)
@@ -153,6 +162,116 @@ def run_contig_cmd(args, res=None):
     return ctg
 
 
+def run_map_cmd(args, ctg=None, table=None):
+    import jax.numpy as jnp
+
+    from .graph import connections
+    from .io import libconfig
+    from .stages import map as map_stage
+
+    cfg = libconfig.parse_config(args.config)
+    if ctg is None:
+        with open(args.out + ".contig.pkl", "rb") as fh:
+            data = pickle.load(fh)
+        ctg = _to_jnp(data["contigs"])
+        k = data["k"]
+        with open(args.out + ".pregraph.pkl", "rb") as fh:
+            table = _to_jnp(pickle.load(fh)["table"])
+    else:
+        k = args.k
+
+    index = map_stage.build_contig_index(ctg, table, k)
+    full_len = ctg.length + k
+
+    cand_f, cand_t, cand_g, cand_v, cand_se = [], [], [], [], []
+    placements = []
+    n_ctg_rows = ctg.length.shape[0]
+    unique = jnp.asarray(
+        (np.arange(n_ctg_rows) < int(ctg.n)) &
+        (np.asarray(full_len) >= getattr(args, "min_contig", 100)))
+    from .io import fastx
+    for codes, lengths, li in fastx.config_read_batches(
+            cfg, 4096, purpose=2):
+        lib = cfg.libs[li]
+        pl = map_stage.map_reads(
+            jnp.asarray(codes), jnp.asarray(lengths), index, k,
+            map_len=lib.map_len or 32)
+        placements.append((pl, li))
+        r, l = codes.shape
+        p = l - k + 1
+        if lib.has_pairs and lib.avg_ins > 0:
+            f, t, g, v = connections.pe_link_candidates(
+                pl.ctg, pl.pos, ctg.twin, full_len, lib.avg_ins, k)
+            cand_f.append(f); cand_t.append(t); cand_g.append(g)
+            cand_v.append(v); cand_se.append(jnp.zeros_like(v))
+        f, t, g, v = connections.se_link_candidates(
+            pl.g_ctg, pl.g_ctg_off, pl.g_read_off, pl.g_valid,
+            r, p, k, twin=ctg.twin, ctg_len=full_len, unique=unique)
+        cand_f.append(f); cand_t.append(t); cand_g.append(g)
+        cand_v.append(v); cand_se.append(jnp.ones_like(v))
+
+    if not cand_f:  # no scaffolding libraries (asm_flags & 2 unset)
+        cand_f = [jnp.full(1, -1, jnp.int32)]
+        cand_t = [jnp.full(1, -1, jnp.int32)]
+        cand_g = [jnp.zeros(1, jnp.int32)]
+        cand_v = [jnp.zeros(1, bool)]
+        cand_se = [jnp.zeros(1, bool)]
+    conn = connections.aggregate(
+        jnp.concatenate(cand_f), jnp.concatenate(cand_t),
+        jnp.concatenate(cand_g),
+        jnp.concatenate(cand_se), jnp.concatenate(cand_v))
+    print(f"[map] {int(conn.n)} contig connections")
+    with open(args.out + ".links.pkl", "wb") as fh:
+        pickle.dump({"k": k, "conn": _to_np(conn)}, fh)
+    # .readOnContig (text, reference format: readno ctg pos orien)
+    with open(args.out + ".readOnContig", "w") as fh:
+        fh.write("read\tcontig\tpos\n")
+        readno = 0
+        for pl, _li in placements:
+            arr_c = np.asarray(pl.ctg)
+            arr_p = np.asarray(pl.pos)
+            arr_r = np.asarray(pl.reverse)
+            for i in range(len(arr_c)):
+                readno += 1
+                if arr_c[i] >= 0:
+                    orien = "-" if arr_r[i] else "+"
+                    fh.write(f"{readno}\t{arr_c[i]}\t{arr_p[i]}\t{orien}\n")
+    print(f"[map] wrote {args.out}.readOnContig/.links.pkl")
+    return conn
+
+
+def run_scaff_cmd(args, ctg=None, table=None, conn=None):
+    from .io import fastx
+    from .stages import scaff as scaff_stage
+
+    if ctg is None:
+        with open(args.out + ".contig.pkl", "rb") as fh:
+            data = pickle.load(fh)
+        ctg = _to_jnp(data["contigs"])
+        k = data["k"]
+        with open(args.out + ".pregraph.pkl", "rb") as fh:
+            table = _to_jnp(pickle.load(fh)["table"])
+        with open(args.out + ".links.pkl", "rb") as fh:
+            conn = _to_jnp(pickle.load(fh)["conn"])
+    else:
+        k = args.k
+
+    params = scaff_stage.ScaffParams(
+        min_unique_len=getattr(args, "min_contig", 100),
+        max_transcripts=getattr(args, "max_transcripts", 5))
+    recs, transcripts, stats = scaff_stage.run_scaff(
+        ctg, conn, k, table, params)
+    fastx.write_fasta(args.out + ".scafSeq", recs)
+    with open(args.out + ".scafStatistics", "w") as fh:
+        for key, val in stats.items():
+            fh.write(f"{key}\t{val}\n")
+    n_scaf = sum(1 for h, _ in recs if h.startswith("scaffold"))
+    print(f"[scaff] {n_scaf} transcripts + "
+          f"{len(recs) - n_scaf} singletons -> {args.out}.scafSeq "
+          f"(N50={stats.get('N50', 0)})")
+    return recs
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     t0 = time.time()
@@ -160,9 +279,15 @@ def main(argv=None):
         run_pregraph_cmd(args)
     elif args.cmd == "contig":
         run_contig_cmd(args)
+    elif args.cmd == "map":
+        run_map_cmd(args)
+    elif args.cmd == "scaff":
+        run_scaff_cmd(args)
     elif args.cmd == "all":
         res = run_pregraph_cmd(args)
-        run_contig_cmd(args, res)
+        ctg = run_contig_cmd(args, res)
+        conn = run_map_cmd(args, ctg=ctg, table=res.table)
+        run_scaff_cmd(args, ctg=ctg, table=res.table, conn=conn)
     print(f"[done] total {time.time() - t0:.1f}s")
 
 

@@ -1,0 +1,423 @@
+"""Stage 4 — scaff: connections -> loci -> transcripts -> .scafSeq.
+
+Host-side transcript builder mirroring transcriptome()
+(reference src/transcriptome.c:2223-2345) and the scaffold driver
+(src/scaffold.c:35-90).  Loci are small (10s-1000s of contigs), so
+this stage is compute-light: connection building runs on device
+(graph/connections.py), the per-locus graph surgery below runs on
+host over the resulting COO arrays, exactly as SURVEY.md §7.1 plans.
+
+Pass sequence (transcriptome.c:2223-2345):
+  setUniqueContig(-L)          -> unique = length >= L
+  [PE2Links/Links2Scaf + singleRead2connection]  (device)
+  deleteWeakCnt(3)             -> weight < 3 connections dropped
+  getLoci                      -> oriented connected components
+  linearization                -> transitive-redundancy removal
+  deleteInconsistent           -> cross-orientation links dropped
+  avoidLoop                    -> DFS cycle breaking
+  linearization again
+  transcript                   -> classify LINEAR/FORK/BUBBLE/COMPLEX,
+                                  emit paths (all-paths for small loci,
+                                  heaviest-path DP otherwise,
+                                  transcriptome.c:1080-2118)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+LINEAR, FORK, BUBBLE, COMPLEX = "LINEAR", "FORK", "BUBBLE", "COMPLEX"
+
+
+@dataclasses.dataclass
+class ScaffParams:
+    min_unique_len: int = 100   # -L ctg_mask
+    weak_cnt: int = 3           # deleteWeakCnt cutoff
+    max_transcripts: int = 5    # -t max_num per COMPLEX locus
+    max_step: int = 5           # all-paths enumeration bound (contigs)
+    max_routes: int = 10        # path count cap per locus
+    ins_size_var: int = 20      # gap tolerance (Links2Scaf :4251-4275)
+
+
+@dataclasses.dataclass
+class Transcript:
+    locus: int
+    index: int          # n-th transcript of the locus
+    kind: str
+    contigs: List[int]  # directed contig rows in order
+    gaps: List[int]     # gap after each contig (len-1 entries)
+
+
+class ConnGraph:
+    """Mutable host view of the connection set over directed contigs."""
+
+    def __init__(self, conn, twin, ctg_len, unique):
+        self.twin = twin
+        self.ctg_len = ctg_len
+        self.unique = unique
+        self.out: Dict[int, Dict[int, dict]] = defaultdict(dict)
+        self.into: Dict[int, Dict[int, dict]] = defaultdict(dict)
+        n = int(conn.n)
+        for i in range(n):
+            f, t = int(conn.from_ctg[i]), int(conn.to_ctg[i])
+            rec = {"gap": int(conn.gap[i]), "weight": int(conn.weight[i]),
+                   "se": int(conn.se_count[i]), "deleted": False}
+            self.out[f][t] = rec
+            self.into[t][f] = rec
+
+    def delete(self, f, t, with_twin=True):
+        rec = self.out.get(f, {}).get(t)
+        if rec:
+            rec["deleted"] = True
+        if with_twin:
+            tf, tt = int(self.twin[t]), int(self.twin[f])
+            rec2 = self.out.get(tf, {}).get(tt)
+            if rec2:
+                rec2["deleted"] = True
+
+    def out_live(self, c):
+        return [(t, r) for t, r in self.out.get(c, {}).items()
+                if not r["deleted"] and self.unique[t]]
+
+    def in_live(self, c):
+        return [(f, r) for f, r in self.into.get(c, {}).items()
+                if not r["deleted"] and self.unique[f]]
+
+
+def delete_weak(g: ConnGraph, cutoff: int):
+    """deleteWeakCnt (transcriptome.c:470)."""
+    for f, outs in g.out.items():
+        for t, rec in outs.items():
+            if not rec["deleted"] and 0 < rec["weight"] < cutoff:
+                rec["deleted"] = True
+
+
+def get_loci(g: ConnGraph, n_ctg: int) -> List[List[int]]:
+    """Oriented connected components over unique contigs
+    (getLociCount/getLoci + propagateComponent, :327-468): BFS through
+    live connections both ways; visiting a contig claims its twin."""
+    visited = np.zeros(n_ctg, bool)
+    loci = []
+    for c in range(n_ctg):
+        if visited[c] or not g.unique[c]:
+            continue
+        if not g.out_live(c) and not g.in_live(c):
+            visited[c] = visited[int(g.twin[c])] = True
+            continue  # isolated contigs become leftover singletons
+        comp, stack = [], [c]
+        visited[c] = visited[int(g.twin[c])] = True
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            nbrs = [t for t, _ in g.out_live(x)] + \
+                   [f for f, _ in g.in_live(x)] + \
+                   [int(g.twin[t]) for t, _ in
+                    g.out_live(int(g.twin[x]))] + \
+                   [int(g.twin[f]) for f, _ in
+                    g.in_live(int(g.twin[x]))]
+            for t in nbrs:
+                if not visited[t] and g.unique[t]:
+                    visited[t] = visited[int(g.twin[t])] = True
+                    stack.append(t)
+        loci.append(comp)
+    return loci
+
+
+def linearize(g: ConnGraph, locus: List[int], params: ScaffParams):
+    """deleteUnnecessary/linearC2C (transcriptome.c:599-841):
+    remove connections transitive w.r.t. an existing 2-step path whose
+    total length is consistent within the insert-size tolerance."""
+    changed = True
+    rounds = 0
+    while changed and rounds < 8:
+        changed = False
+        rounds += 1
+        for a in locus:
+            outs = g.out_live(a)
+            if len(outs) < 2:
+                continue
+            for c, rec_ac in list(outs):
+                for b, rec_ab in outs:
+                    if b == c or rec_ab["deleted"]:
+                        continue
+                    rec_bc = g.out.get(b, {}).get(c)
+                    if rec_bc is None or rec_bc["deleted"]:
+                        continue
+                    span = rec_ab["gap"] + int(g.ctg_len[b]) + rec_bc["gap"]
+                    if abs(span - rec_ac["gap"]) <= \
+                            params.ins_size_var + int(g.ctg_len[b]):
+                        g.delete(a, c)
+                        changed = True
+                        break
+    # bal_simply_linear-style merge of both-strand evidence is implicit:
+    # connections were built twin-symmetric.
+
+
+def delete_inconsistent(g: ConnGraph, locus: List[int]):
+    """deleteInconsistent (transcriptome.c:500): inside a locus each
+    contig has a chosen orientation; links to twin-side targets die."""
+    if len(locus) <= 1:
+        return
+    chosen = set(locus)
+    for c in locus:
+        for t, rec in list(g.out_live(c)):
+            if int(g.twin[t]) in chosen and t not in chosen:
+                g.delete(c, t)
+        bal = int(g.twin[c])
+        for t, rec in list(g.out_live(bal)):
+            if t in chosen:
+                g.delete(bal, t)
+
+
+def avoid_loops(g: ConnGraph, locus: List[int]):
+    """avoidLoop/tourLoci/found_repeat (transcriptome.c:843-1079):
+    DFS; back-edges (cycles) are deleted."""
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {c: WHITE for c in locus}
+    for start in locus:
+        if color.get(start, BLACK) != WHITE:
+            continue
+        stack = [(start, iter([t for t, _ in g.out_live(start)]))]
+        color[start] = GRAY
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for t in it:
+                if color.get(t, BLACK) == GRAY:
+                    g.delete(node, t)  # back edge: break the cycle
+                    continue
+                if color.get(t, BLACK) == WHITE:
+                    color[t] = GRAY
+                    stack.append((t, iter([x for x, _ in g.out_live(t)])))
+                    advanced = True
+                    break
+            if not advanced:
+                color[node] = BLACK
+                stack.pop()
+
+
+def classify(g: ConnGraph, locus: List[int]) -> str:
+    """getLocusKind (transcriptome.c:1080-1156)."""
+    if len(locus) <= 2:
+        return LINEAR
+    dist = [0, 0, 0]
+    for c in locus:
+        for node in (c, int(g.twin[c])):
+            k = len(g.out_live(node))
+            if k == 0:
+                dist[0] += 1
+            elif k == 2:
+                dist[1] += 1
+            elif k >= 3:
+                dist[2] += 1
+    if dist == [2, 0, 0]:
+        return LINEAR
+    if dist == [3, 1, 0]:
+        return FORK
+    if dist == [2, 2, 0]:
+        return BUBBLE
+    return COMPLEX
+
+
+def _sources(g: ConnGraph, locus: List[int]) -> List[int]:
+    return [c for c in locus if not g.in_live(c)]
+
+
+def all_paths(g: ConnGraph, locus: List[int], params: ScaffParams
+              ) -> List[List[int]]:
+    """getAllPath/allPath (transcriptome.c:1742-1865): enumerate every
+    source->sink path (loci here are DAGs after avoid_loops)."""
+    paths: List[List[int]] = []
+    srcs = _sources(g, locus) or locus[:1]
+    for s in srcs:
+        stack = [(s, [s])]
+        while stack and len(paths) < params.max_routes:
+            node, path = stack.pop()
+            outs = g.out_live(node)
+            if not outs:
+                paths.append(path)
+                continue
+            for t, _ in outs:
+                if t in path:  # safety vs residual cycles
+                    paths.append(path)
+                    continue
+                stack.append((t, path + [t]))
+    return paths
+
+
+def heaviest_paths(g: ConnGraph, locus: List[int], cvg,
+                   params: ScaffParams) -> List[List[int]]:
+    """COMPLEX-locus extraction (transcriptome.c:1544-2117):
+    repeatedly pick the highest-coverage unused contig, score a DP
+    backward along connections with a 10000x bonus for paths through
+    it, trace the best path, mark members used; stop when all contigs
+    are used or -t paths were emitted."""
+    used = {c: False for c in locus}
+    order = _topo_order(g, locus)
+    paths = []
+    for _ in range(params.max_transcripts):
+        if all(used.values()):
+            break
+        heavy = max((c for c in locus if not used[c]),
+                    key=lambda c: float(cvg[c]), default=None)
+        if heavy is None:
+            break
+        score: Dict[int, float] = {}
+        best_pred: Dict[int, int] = {}
+        for c in order:  # topological: preds scored first
+            s, bp = 0.0, 0
+            for f, rec in g.in_live(c):
+                bonus = 10000.0 if (f == heavy or c == heavy) else 1.0
+                val = bonus * rec["weight"] + score.get(f, 0.0)
+                if val > s:
+                    s, bp = val, f
+            score[c] = s
+            best_pred[c] = bp
+        # best endpoint: max score among sinks reachable through heavy,
+        # falling back to global max score
+        def through_heavy(c):
+            while c:
+                if c == heavy:
+                    return True
+                c = best_pred.get(c, 0)
+            return False
+        sinks = [c for c in locus if not g.out_live(c)] or locus
+        cand = [c for c in sinks if through_heavy(c)] or sinks
+        end = max(cand, key=lambda c: score.get(c, 0.0))
+        path = []
+        c = end
+        while c:
+            path.append(c)
+            used[c] = True
+            c = best_pred.get(c, 0)
+        path.reverse()
+        if len(path) >= 1:
+            paths.append(path)
+    return paths
+
+
+def _topo_order(g: ConnGraph, locus: List[int]) -> List[int]:
+    indeg = {c: len(g.in_live(c)) for c in locus}
+    order, queue = [], [c for c in locus if indeg[c] == 0]
+    while queue:
+        c = queue.pop()
+        order.append(c)
+        for t, _ in g.out_live(c):
+            if t in indeg:
+                indeg[t] -= 1
+                if indeg[t] == 0:
+                    queue.append(t)
+    # residual cycle members appended arbitrarily
+    for c in locus:
+        if c not in order:
+            order.append(c)
+    return order
+
+
+def build_transcripts(g: ConnGraph, loci: List[List[int]], cvg,
+                      params: ScaffParams) -> List[Transcript]:
+    out: List[Transcript] = []
+    for li, locus in enumerate(loci):
+        kind = classify(g, locus)
+        if kind == COMPLEX and len(locus) > params.max_step:
+            paths = heaviest_paths(g, locus, cvg, params)
+        else:
+            paths = all_paths(g, locus, params)
+        for pi, path in enumerate(paths):
+            if len(path) < 2:
+                continue  # single-contig paths stay leftover singletons
+            gaps = []
+            for a, b in zip(path[:-1], path[1:]):
+                rec = g.out.get(a, {}).get(b)
+                gaps.append(max(int(rec["gap"]), 0) if rec else 0)
+            out.append(Transcript(li, pi, kind, path, gaps))
+    return out
+
+
+def transcript_sequences(transcripts: List[Transcript], seqs: List[str],
+                         used_flags: Optional[np.ndarray] = None
+                         ) -> List[Tuple[str, str]]:
+    """Assemble scaffold sequences: member contigs joined with N gaps
+    (gap filling refines this — reference prlReadFillGap; N-join is
+    the -F-off behavior)."""
+    recs = []
+    for idx, tr in enumerate(transcripts, start=1):
+        parts = []
+        for i, c in enumerate(tr.contigs):
+            parts.append(seqs[c])
+            if i < len(tr.gaps) and tr.gaps[i] > 0:
+                parts.append("N" * tr.gaps[i])
+            if used_flags is not None:
+                used_flags[c] = True
+        seq = "".join(parts)
+        header = (f"scaffold{idx} {len(tr.contigs)} {len(seq)} "
+                  f"Locus_{tr.locus}_{tr.index} {tr.kind}")
+        recs.append((header, seq))
+    return recs
+
+
+def run_scaff(contigs, conn, k: int, table,
+              params: Optional[ScaffParams] = None):
+    """Full scaffold stage: returns (records, transcripts, stats).
+
+    records: list of (header, sequence) for .scafSeq — transcripts
+    first, then leftover contigs >= 100bp as '>C<row>' singletons
+    (reference prlReadFillGap.c:1453-1461)."""
+    from ..graph import contig_merge
+
+    params = params or ScaffParams()
+    n_ctg = int(contigs.n)
+    twin = np.asarray(contigs.twin)
+    full_len = np.asarray(contigs.length) + k
+    unique = np.zeros(contigs.length.shape[0], bool)
+    unique[:n_ctg] = full_len[:n_ctg] >= params.min_unique_len
+
+    g = ConnGraph(conn, twin, full_len, unique)
+    delete_weak(g, params.weak_cnt)
+    loci = get_loci(g, n_ctg)
+    for locus in loci:
+        linearize(g, locus, params)
+        delete_inconsistent(g, locus)
+        avoid_loops(g, locus)
+        linearize(g, locus, params)
+    transcripts = build_transcripts(
+        g, loci, np.asarray(contigs.cvg), params)
+
+    seqs = contig_merge.contig_sequences(contigs, table, k)
+    used = np.zeros(contigs.length.shape[0], bool)
+    recs = transcript_sequences(transcripts, seqs, used)
+    # leftover singletons (one per twin pair)
+    for c in range(n_ctg):
+        if used[c] or used[int(twin[c])] or full_len[c] < 100:
+            continue
+        if c > int(twin[c]):
+            continue
+        recs.append((f"C{c}", seqs[c]))
+        used[c] = used[int(twin[c])] = True
+    return recs, transcripts, scaf_stats(recs)
+
+
+def scaf_stats(recs: List[Tuple[str, str]]) -> Dict[str, float]:
+    """ScafStat (reference orderContig.c:2421): base composition,
+    N50/N90, longest — the .scafStatistics payload."""
+    lengths = sorted((len(s) for _, s in recs), reverse=True)
+    if not lengths:
+        return {"count": 0}
+    total = sum(lengths)
+    acc, n50, n90 = 0, 0, 0
+    for L in lengths:
+        acc += L
+        if not n50 and acc >= total * 0.5:
+            n50 = L
+        if not n90 and acc >= total * 0.9:
+            n90 = L
+    comp = defaultdict(int)
+    for _, s in recs:
+        for ch in "ACGTN":
+            comp[ch] += s.count(ch)
+    return {"count": len(lengths), "total": total, "longest": lengths[0],
+            "N50": n50, "N90": n90, **{f"n_{c}": comp[c] for c in "ACGTN"}}

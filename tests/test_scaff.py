@@ -1,0 +1,171 @@
+"""Scaffold stage: PE/SE links -> loci -> transcripts
+(reference transcriptome.c + attachPEinfo.c semantics)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from soapdenovo_trans_tpu.ops import bits, dictionary, kmer
+from soapdenovo_trans_tpu.graph import dbg as dbg_mod
+from soapdenovo_trans_tpu.graph import (arcs, connections, contig_merge,
+                                        unitigs)
+from soapdenovo_trans_tpu.stages import map as map_stage
+from soapdenovo_trans_tpu.stages import scaff
+
+K = 15
+
+
+def unique_kmer_seq(rng, n, k=K):
+    while True:
+        s = "".join(rng.choice(list("ACGT"), size=n))
+        cans = set()
+        ok = True
+        for j in range(n - k + 1):
+            win = s[j : j + k]
+            can = min(win, bits.revcomp_str(win))
+            if can in cans:
+                ok = False
+                break
+            cans.add(can)
+        if ok:
+            return s
+
+
+def pad(reads):
+    maxlen = max(len(s) for s in reads)
+    padded = np.full((len(reads), maxlen), 4, np.uint8)
+    lens = []
+    for i, s in enumerate(reads):
+        padded[i, : len(s)] = bits.encode_seq(s)
+        lens.append(len(s))
+    return jnp.asarray(padded), jnp.asarray(lens)
+
+
+def assemble(reads, k=K):
+    padded, lens = pad(reads)
+    stream = kmer.chop_reads(padded, lens, k)
+    table = dictionary.build(stream)
+    graph = dbg_mod.build_dbg(table, k)
+    eg = unitigs.condense(graph, table, k)
+    patch = arcs.build_patch(eg, table, k)
+    f, t, v = arcs.thread_reads(padded, lens, table, eg, patch, k)
+    aset = arcs.count_arcs(f, t, v, eg.twin)
+    ctg = contig_merge.concatenate(eg, aset)
+    return table, ctg
+
+
+def pe_reads(rng, transcript, ins, read_len, n_pairs):
+    """FR pairs: read1 forward from fragment start, read2 = rc of
+    fragment end; consecutive in the returned list."""
+    out = []
+    for _ in range(n_pairs):
+        start = int(rng.integers(0, len(transcript) - ins + 1))
+        frag = transcript[start : start + ins]
+        out.append(frag[:read_len])
+        out.append(bits.revcomp_str(frag[-read_len:]))
+    return out
+
+
+def build_scenario(rng):
+    """Two transcripts sharing a 40bp repeat; unique arms 150bp."""
+    u1 = unique_kmer_seq(rng, 150)
+    u2 = unique_kmer_seq(rng, 150)
+    u3 = unique_kmer_seq(rng, 150)
+    u4 = unique_kmer_seq(rng, 150)
+    rep = unique_kmer_seq(rng, 40)
+    t1 = u1 + rep + u2
+    t2 = u3 + rep + u4
+    return t1, t2, (u1, u2, u3, u4, rep)
+
+
+def test_pe_scaffolding(rng):
+    t1, t2, parts = build_scenario(rng)
+    ins, rl = 120, 40
+    # coverage reads (singles) for assembly + PE pairs for linking
+    cov = []
+    for t in (t1, t2):
+        cov += [t[i : i + 50] for i in range(0, len(t) - 50 + 1, 5)]
+        cov += [t[:50], t[-50:]]
+    pairs = pe_reads(rng, t1, ins, rl, 40) + pe_reads(rng, t2, ins, rl, 40)
+    table, ctg = assemble(cov + pairs)
+    n = int(ctg.n)
+    assert n >= 10  # 5 unitig pairs (4 arms + repeat, arms extended)
+
+    index = map_stage.build_contig_index(ctg, table, K)
+    padded, lens = pad(pairs)
+    pl = map_stage.map_reads(padded, lens, index, K, map_len=32)
+
+    full_len = ctg.length + K
+    f, t_, g, v = connections.pe_link_candidates(
+        pl.ctg, pl.pos, ctg.twin, full_len, ins, K)
+    is_se = jnp.zeros_like(v)
+    conn = connections.aggregate(f, t_, g, is_se, v)
+    assert int(conn.n) > 0
+
+    recs, transcripts, stats = scaff.run_scaff(
+        ctg, conn, K, table,
+        scaff.ScaffParams(min_unique_len=100))
+    # each transcript's unique arms must be joined in one scaffold
+    seqs = [s for h, s in recs if h.startswith("scaffold")]
+    assert len(seqs) >= 2
+    u1, u2, u3, u4, rep = parts
+
+    def covers(seq, a, b):
+        s = seq
+        rc = bits.revcomp_str(seq)
+        for cand in (s, rc):
+            ia = cand.find(a[20:-20])
+            ib = cand.find(b[20:-20])
+            if ia >= 0 and ib >= 0 and ia < ib:
+                return True
+        return False
+
+    assert any(covers(s, u1, u2) for s in seqs), \
+        [len(s) for s in seqs]
+    assert any(covers(s, u3, u4) for s in seqs)
+    # and no chimeric scaffold joining arms of different transcripts
+    assert not any(covers(s, u1, u4) for s in seqs)
+    assert not any(covers(s, u3, u2) for s in seqs)
+    # gap length should approximate the repeat span
+    assert stats["count"] >= 2
+
+
+def test_se_links_join_contigs(rng):
+    t1, t2, parts = build_scenario(rng)
+    # long single reads spanning the repeat provide SE links
+    long_reads = []
+    for t in (t1, t2):
+        for i in range(110, 190, 4):
+            long_reads.append(t[i - 60 : i + 60])
+    cov = []
+    for t in (t1, t2):
+        cov += [t[i : i + 50] for i in range(0, len(t) - 50 + 1, 5)]
+        cov += [t[:50], t[-50:]]
+    table, ctg = assemble(cov + long_reads)
+    index = map_stage.build_contig_index(ctg, table, K)
+    padded, lens = pad(long_reads)
+    pl = map_stage.map_reads(padded, lens, index, K, map_len=20)
+
+    full_len = ctg.length + K
+    n_ctg = int(ctg.n)
+    unique = (np.arange(ctg.length.shape[0]) < n_ctg) & \
+        (np.asarray(full_len) >= 100)
+    r = padded.shape[0]
+    p = padded.shape[1] - K + 1
+    f, t_, g, v = connections.se_link_candidates(
+        pl.g_ctg, pl.g_ctg_off, pl.g_read_off, pl.g_valid,
+        r, p, K, twin=ctg.twin, ctg_len=full_len,
+        unique=jnp.asarray(unique))
+    conn = connections.aggregate(f, t_, g, jnp.ones_like(v), v)
+    assert int(conn.n) > 0
+    recs, transcripts, stats = scaff.run_scaff(ctg, conn, K, table)
+    seqs = [s for h, s in recs if h.startswith("scaffold")]
+    u1, u2, u3, u4, rep = parts
+    joined = 0
+    for a, b in ((u1, u2), (u3, u4)):
+        for s in seqs:
+            sa = s if s.find(a[20:40]) >= 0 else bits.revcomp_str(s)
+            if sa.find(a[20:40]) >= 0 and sa.find(b[20:40]) > sa.find(a[20:40]) >= 0:
+                joined += 1
+                break
+    assert joined == 2, [len(s) for s in seqs]
