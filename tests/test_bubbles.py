@@ -1,0 +1,102 @@
+"""Bubble pinching (reference bubblePinch, src/bubble.c) — SNP/error
+bubbles collapse onto the majority branch."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from soapdenovo_trans_tpu.ops import bits, dictionary, kmer
+from soapdenovo_trans_tpu.graph import dbg as dbg_mod
+from soapdenovo_trans_tpu.graph import arcs, bubbles, contig_merge, unitigs
+
+K = 15
+
+
+def unique_kmer_seq(rng, n, k=K):
+    while True:
+        s = "".join(rng.choice(list("ACGT"), size=n))
+        cans = set()
+        ok = True
+        for j in range(n - k + 1):
+            win = s[j : j + k]
+            can = min(win, bits.revcomp_str(win))
+            if can in cans:
+                ok = False
+                break
+            cans.add(can)
+        if ok:
+            return s
+
+
+def build(reads, k=K):
+    maxlen = max(len(s) for s in reads)
+    padded = np.full((len(reads), maxlen), 4, np.uint8)
+    lens = []
+    for i, s in enumerate(reads):
+        padded[i, : len(s)] = bits.encode_seq(s)
+        lens.append(len(s))
+    padded = jnp.asarray(padded)
+    lens = jnp.asarray(lens)
+    stream = kmer.chop_reads(padded, lens, k)
+    table = dictionary.build(stream)
+    graph = dbg_mod.build_dbg(table, k)
+    eg = unitigs.condense(graph, table, k)
+    patch = arcs.build_patch(eg, table, k)
+    f, t, v = arcs.thread_reads(padded, lens, table, eg, patch, k)
+    aset = arcs.count_arcs(f, t, v, eg.twin)
+    return table, eg, aset
+
+
+def snp_variant(t, pos):
+    old = t[pos]
+    new = "ACGT"[("ACGT".index(old) + 2) % 4]
+    return t[:pos] + new + t[pos + 1 :]
+
+
+def test_snp_bubble_merged(rng):
+    t = unique_kmer_seq(rng, 200)
+    v = snp_variant(t, 100)
+    reads = [t] * 9 + [v] * 3  # both branches above error thresholds
+    table, eg, aset = build(reads)
+    assert int(eg.n_edges) == 8  # 4 pairs: prefix, 2 branches, suffix
+    eg2, aset2 = bubbles.bubble_pinch(eg, aset, table, K, 1)
+    alive = [e for e in range(int(eg2.n_edges))
+             if not bool(eg2.deleted[e])]
+    assert len(alive) == 6  # minority branch pair removed
+    # after concatenation the majority transcript is restored whole
+    ctg = contig_merge.concatenate(eg2, aset2)
+    seqs = contig_merge.contig_sequences(ctg, table, K)
+    assert sorted(seqs) == sorted([t, bits.revcomp_str(t)])
+    # coverage of the surviving branch absorbed the minority's
+    n = int(eg.n_edges)
+
+
+def test_distinct_sequences_not_merged(rng):
+    # two genuinely different paths between the same vertices (an
+    # alternative exon, length difference > DIFF) must survive
+    p = unique_kmer_seq(rng, 80)
+    mid1 = unique_kmer_seq(rng, 40)
+    mid2 = unique_kmer_seq(rng, 60)
+    q = unique_kmer_seq(rng, 80)
+    t1, t2 = p + mid1 + q, p + mid2 + q
+    reads = [t1] * 5 + [t2] * 5
+    table, eg, aset = build(reads)
+    n_before = int(jnp.sum(~eg.deleted[: int(eg.n_edges)]))
+    eg2, aset2 = bubbles.bubble_pinch(eg, aset, table, K, 1)
+    n_after = int(jnp.sum(~eg2.deleted[: int(eg2.n_edges)]))
+    assert n_after == n_before  # nothing merged
+
+
+def test_pinch_in_contig_stage(rng):
+    # through run_contig with merge_level=1: error reads form a bubble
+    # (error mid-read far from ends), output must be the clean t
+    from soapdenovo_trans_tpu.stages import contig as contig_stage
+
+    t = unique_kmer_seq(rng, 200)
+    v = snp_variant(t, 90)
+    reads = [t] * 10 + [v] * 3
+    table, eg, aset = build(reads)
+    params = contig_stage.ContigParams(merge_level=1, weak_cvg=0)
+    ctg = contig_stage.run_contig(eg, aset, K, params, table=table)
+    seqs = contig_merge.contig_sequences(ctg, table, K)
+    assert sorted(seqs) == sorted([t, bits.revcomp_str(t)])
