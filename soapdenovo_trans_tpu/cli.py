@@ -260,7 +260,7 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         min_unique_len=getattr(args, "min_contig", 100),
         max_transcripts=getattr(args, "max_transcripts", 5))
     recs, transcripts, stats = scaff_stage.run_scaff(
-        ctg, conn, k, table, params)
+        ctg, conn, k, table, params, ctg_arcs=ctg.arcs)
     fastx.write_fasta(args.out + ".scafSeq", recs)
     with open(args.out + ".scafStatistics", "w") as fh:
         for key, val in stats.items():

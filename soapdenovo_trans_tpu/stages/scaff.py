@@ -333,7 +333,7 @@ def build_transcripts(g: ConnGraph, loci: List[List[int]], cvg,
             gaps = []
             for a, b in zip(path[:-1], path[1:]):
                 rec = g.out.get(a, {}).get(b)
-                gaps.append(max(int(rec["gap"]), 0) if rec else 0)
+                gaps.append(int(rec["gap"]) if rec else 0)
             out.append(Transcript(li, pi, kind, path, gaps))
     return out
 
@@ -361,7 +361,7 @@ def transcript_sequences(transcripts: List[Transcript], seqs: List[str],
 
 
 def run_scaff(contigs, conn, k: int, table,
-              params: Optional[ScaffParams] = None):
+              params: Optional[ScaffParams] = None, ctg_arcs=None):
     """Full scaffold stage: returns (records, transcripts, stats).
 
     records: list of (header, sequence) for .scafSeq — transcripts
@@ -389,7 +389,12 @@ def run_scaff(contigs, conn, k: int, table,
 
     seqs = contig_merge.contig_sequences(contigs, table, k)
     used = np.zeros(contigs.length.shape[0], bool)
-    recs = transcript_sequences(transcripts, seqs, used)
+    if ctg_arcs is not None:
+        router = ArcRouter(ctg_arcs, full_len, k)
+        recs = transcript_sequences_filled(
+            transcripts, seqs, router, k, params.ins_size_var, used)
+    else:
+        recs = transcript_sequences(transcripts, seqs, used)
     # leftover singletons (one per twin pair)
     for c in range(n_ctg):
         if used[c] or used[int(twin[c])] or full_len[c] < 100:
@@ -421,3 +426,93 @@ def scaf_stats(recs: List[Tuple[str, str]]) -> Dict[str, float]:
             comp[ch] += s.count(ch)
     return {"count": len(lengths), "total": total, "longest": lengths[0],
             "N50": n50, "N90": n90, **{f"n_{c}": comp[c] for c in "ACGTN"}}
+
+
+class ArcRouter:
+    """Bounded DFS route finder over the contig arc graph.
+
+    Equivalent of traceAlongArc (reference src/searchPath.c:181) +
+    output1gap: find the unique contig path c1 -> ... -> c2 whose
+    spliced length matches the PE/SE gap estimate, so scaffold gaps
+    carry real sequence instead of Ns (the -F-less part of
+    prlReadsCloseGap's gap closing)."""
+
+    MAX_TRACE = 5000
+
+    def __init__(self, aset, ctg_len, k):
+        self.k = k
+        self.ctg_len = ctg_len
+        self.adj: Dict[int, List[int]] = defaultdict(list)
+        n = int(aset.n)
+        for i in range(n):
+            f, t = int(aset.from_ed[i]), int(aset.to_ed[i])
+            if f >= 0 and t >= 0 and int(aset.mult[i]) > 0:
+                self.adj[f].append(t)
+
+    def find_route(self, c1, c2, gap, tol, max_step=5,
+                   max_routes=10) -> Optional[List[int]]:
+        """Unique intermediate path c1->...->c2 with
+        sum(len_full(x) - K) - K within gap +- tol, or None."""
+        routes: List[List[int]] = []
+        trace = 0
+        k = self.k
+
+        def dfs(node, inter, length):
+            nonlocal trace
+            trace += 1
+            if trace > self.MAX_TRACE or len(routes) > max_routes:
+                return
+            for t in self.adj.get(node, ()):  # noqa: B007
+                if t == c2:
+                    if abs(length - k - gap) <= tol:
+                        routes.append(list(inter))
+                        if len(routes) > max_routes:
+                            return
+                if len(inter) < max_step and t not in (c1, c2) and t not in inter:
+                    add = int(self.ctg_len[t]) - k
+                    if length + add - k <= gap + tol:
+                        inter.append(t)
+                        dfs(t, inter, length + add)
+                        inter.pop()
+
+        dfs(c1, [], 0)
+        if len(routes) == 1:
+            return routes[0]
+        return None
+
+
+def transcript_sequences_filled(transcripts: List[Transcript],
+                                seqs: List[str], router: ArcRouter,
+                                k: int, tol: int,
+                                used_flags: Optional[np.ndarray] = None
+                                ) -> List[Tuple[str, str]]:
+    """Like transcript_sequences, but each junction first tries the
+    unique arc route; only unresolved gaps fall back to Ns."""
+    recs = []
+    filled = 0
+    for idx, tr in enumerate(transcripts, start=1):
+        parts = [seqs[tr.contigs[0]]]
+        if used_flags is not None:
+            used_flags[tr.contigs[0]] = True
+        for i, c2 in enumerate(tr.contigs[1:]):
+            c1 = tr.contigs[i]
+            gap = tr.gaps[i]
+            route = router.find_route(c1, c2, gap, tol)
+            if route is not None:
+                for x in route:
+                    parts.append(seqs[x][k:])
+                parts.append(seqs[c2][k:])
+                filled += 1
+            else:
+                if gap > 0:
+                    parts.append("N" * gap)
+                parts.append(seqs[c2])
+            if used_flags is not None:
+                used_flags[c2] = True
+        seq = "".join(parts)
+        header = (f"scaffold{idx} {len(tr.contigs)} {len(seq)} "
+                  f"Locus_{tr.locus}_{tr.index} {tr.kind}")
+        recs.append((header, seq))
+    if filled:
+        print(f"[scaff] {filled} gaps closed via arc routes")
+    return recs
