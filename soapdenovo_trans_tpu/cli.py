@@ -61,6 +61,10 @@ def build_parser():
     sc.add_argument("-L", dest="min_contig", type=int, default=100)
     sc.add_argument("-t", dest="max_transcripts", type=int, default=5)
     sc.add_argument("-F", dest="fill_gaps", action="store_true")
+    sc.add_argument("-r", dest="read_trace", action="store_true",
+                    help="write .readOnScaf")
+    sc.add_argument("-R", dest="rpkm", action="store_true",
+                    help="write .readOnScaf and .RPKM.Stat")
 
     al = sub.add_parser("all", help="full pipeline")
     _add_common(al)
@@ -75,6 +79,8 @@ def build_parser():
                     help="minimum contig length for scaffolding")
     al.add_argument("-F", dest="fill_gaps", action="store_true")
     al.add_argument("-t", dest="max_transcripts", type=int, default=5)
+    al.add_argument("-r", dest="read_trace", action="store_true")
+    al.add_argument("-R", dest="rpkm", action="store_true")
     return ap
 
 
@@ -221,8 +227,15 @@ def run_map_cmd(args, ctg=None, table=None):
         jnp.concatenate(cand_g),
         jnp.concatenate(cand_se), jnp.concatenate(cand_v))
     print(f"[map] {int(conn.n)} contig connections")
+    read_ctg = np.concatenate(
+        [np.asarray(pl.ctg) for pl, _ in placements]) if placements \
+        else np.zeros(0, np.int32)
+    read_pos = np.concatenate(
+        [np.asarray(pl.pos) for pl, _ in placements]) if placements \
+        else np.zeros(0, np.int32)
     with open(args.out + ".links.pkl", "wb") as fh:
-        pickle.dump({"k": k, "conn": _to_np(conn)}, fh)
+        pickle.dump({"k": k, "conn": _to_np(conn),
+                     "read_ctg": read_ctg, "read_pos": read_pos}, fh)
     # .readOnContig (text, reference format: readno ctg pos orien)
     with open(args.out + ".readOnContig", "w") as fh:
         fh.write("read\tcontig\tpos\n")
@@ -244,6 +257,7 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     from .io import fastx
     from .stages import scaff as scaff_stage
 
+    link_extra = {}
     if ctg is None:
         with open(args.out + ".contig.pkl", "rb") as fh:
             data = pickle.load(fh)
@@ -252,9 +266,16 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         with open(args.out + ".pregraph.pkl", "rb") as fh:
             table = _to_jnp(pickle.load(fh)["table"])
         with open(args.out + ".links.pkl", "rb") as fh:
-            conn = _to_jnp(pickle.load(fh)["conn"])
+            ldata = pickle.load(fh)
+        conn = _to_jnp(ldata["conn"])
+        link_extra = ldata
     else:
         k = args.k
+        try:
+            with open(args.out + ".links.pkl", "rb") as fh:
+                link_extra = pickle.load(fh)
+        except FileNotFoundError:
+            pass
 
     params = scaff_stage.ScaffParams(
         min_unique_len=getattr(args, "min_contig", 100),
@@ -266,6 +287,28 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         for key, val in stats.items():
             fh.write(f"{key}\t{val}\n")
     n_scaf = sum(1 for h, _ in recs if h.startswith("scaffold"))
+    if getattr(args, "read_trace", False) or getattr(args, "rpkm", False):
+        read_ctg = link_extra.get("read_ctg")
+        if read_ctg is not None:
+            owner = scaff_stage.record_membership(
+                recs, transcripts, np.asarray(ctg.twin), int(ctg.n))
+            rec_of, hits = scaff_stage.reads_on_scaffolds(
+                read_ctg, link_extra.get("read_pos"), owner, len(recs))
+            with open(args.out + ".readOnScaf", "w") as fh:
+                for i, ri in enumerate(rec_of):
+                    if ri >= 0:
+                        fh.write(f"{i + 1}\t{recs[ri][0].split()[0]}\n")
+            if getattr(args, "rpkm", False):
+                table_r = scaff_stage.rpkm_table(recs, hits)
+                with open(args.out + ".RPKM.Stat", "w") as fh:
+                    fh.write("# Notice:RPKM calculation base on "
+                             "K-mer mapping.\n")
+                    fh.write(f"# Total_unique_reads_num={int(hits.sum())}\n")
+                    fh.write("Transcript_ID\tLength\tUniq_reads_num"
+                             "\tRPKM\n")
+                    for name, ln, h, rp in table_r:
+                        fh.write(f"{name}\t{ln}\t{h}\t{rp:f}\n")
+                print(f"[scaff] wrote {args.out}.RPKM.Stat")
     print(f"[scaff] {n_scaf} transcripts + "
           f"{len(recs) - n_scaf} singletons -> {args.out}.scafSeq "
           f"(N50={stats.get('N50', 0)})")

@@ -516,3 +516,54 @@ def transcript_sequences_filled(transcripts: List[Transcript],
     if filled:
         print(f"[scaff] {filled} gaps closed via arc routes")
     return recs
+
+
+def record_membership(recs: List[Tuple[str, str]],
+                      transcripts: List[Transcript],
+                      twin, n_ctg: int) -> Dict[int, int]:
+    """contig row -> index of the first .scafSeq record containing it
+    (transcripts first, then C-singletons), twin-insensitive —
+    the analogue of .contigPosInscaff (prlReadFillGap outputSeqs)."""
+    owner: Dict[int, int] = {}
+    for ri, tr in enumerate(transcripts):
+        for c in tr.contigs:
+            owner.setdefault(c, ri)
+            owner.setdefault(int(twin[c]), ri)
+    next_idx = len(transcripts)
+    for h, _s in recs[len(transcripts):]:
+        if h.startswith("C"):
+            c = int(h[1:].split()[0])
+            owner.setdefault(c, next_idx)
+            owner.setdefault(int(twin[c]), next_idx)
+        next_idx += 1
+    return owner
+
+
+def reads_on_scaffolds(read_ctg: np.ndarray, read_pos: np.ndarray,
+                       owner: Dict[int, int], n_records: int):
+    """read -> record index (reference getReadOnScaf, ReadTrace.c:41).
+    Returns (per-read record idx or -1, per-record hit counts)."""
+    rec_of = np.full(len(read_ctg), -1, np.int64)
+    hits = np.zeros(n_records, np.int64)
+    for i, c in enumerate(read_ctg):
+        if c < 0:
+            continue
+        ri = owner.get(int(c), -1)
+        rec_of[i] = ri
+        if ri >= 0:
+            hits[ri] += 1
+    return rec_of, hits
+
+
+def rpkm_table(recs: List[Tuple[str, str]], hits: np.ndarray
+               ) -> List[Tuple[str, int, int, float]]:
+    """RPKM per record (reference RPKMStat, orderContig.c:3092-3348):
+    hits * 1e9 / (total_mapped_reads * length)."""
+    total = int(hits.sum())
+    out = []
+    for i, (h, s) in enumerate(recs):
+        name = h.split()[0]
+        rpkm = (hits[i] * 1e9 / (total * len(s))) if total and len(s) \
+            else 0.0
+        out.append((name, len(s), int(hits[i]), rpkm))
+    return out

@@ -183,3 +183,28 @@ def test_full_pipeline_pe_scaffolding(rng, tmp_path):
     # transcriptome.c:1742) and treats such paths as isoform
     # hypotheses.  The repeat-free no-chimera property is asserted in
     # test_scaff.py where the repeat stays an isolated contig.
+
+
+def test_rpkm_output(rng, tmp_path):
+    """-R produces .readOnScaf and .RPKM.Stat with sane proportions."""
+    t_long = unique_kmer_seq(rng, 500, 21)
+    t_short = unique_kmer_seq(rng, 250, 21)
+    reads = (simulate_reads(rng, t_long, 50, 30) +
+             simulate_reads(rng, t_short, 50, 30))
+    cfg = write_inputs(str(tmp_path), reads, 50)
+    out = os.path.join(str(tmp_path), "asm")
+    cli.main(["all", "-s", cfg, "-o", out, "-K", "21", "-R"])
+    assert os.path.exists(out + ".RPKM.Stat")
+    rows = []
+    for line in open(out + ".RPKM.Stat"):
+        if line.startswith(("#", "Transcript_ID")):
+            continue
+        name, ln, hits, rpkm = line.split("\t")
+        rows.append((name, int(ln), int(hits), float(rpkm)))
+    assert rows, "empty RPKM table"
+    # both transcripts present with nonzero hit counts, and similar
+    # RPKM (equal molar coverage by construction)
+    withhits = [r for r in rows if r[2] > 0]
+    assert len(withhits) >= 2
+    assert os.path.exists(out + ".readOnScaf")
+    assert sum(1 for _ in open(out + ".readOnScaf")) > 0
