@@ -1,0 +1,134 @@
+"""Oracle parity: run the actual SOAPdenovo-Trans reference binary on
+the same reads and compare contig sequence sets (SURVEY.md §4: the
+natural oracle is the reference itself; sequence-set equality,
+order/ID-insensitive, revcomp-normalized)."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from soapdenovo_trans_tpu.ops import bits
+from soapdenovo_trans_tpu.io import fastx
+from soapdenovo_trans_tpu import cli
+
+REF_SRC = "/root/reference/src"
+BUILD_DIR = "/tmp/ref_oracle_build"
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    binary = os.path.join("/tmp", "SOAPdenovo-Trans-31mer")
+    if not os.path.exists(binary):
+        if not os.path.isdir(REF_SRC):
+            pytest.skip("reference source unavailable")
+        shutil.copytree(REF_SRC, BUILD_DIR, dirs_exist_ok=True)
+        r = subprocess.run(["make"], cwd=BUILD_DIR, capture_output=True,
+                           timeout=600)
+        if not os.path.exists(binary):
+            pytest.skip(f"reference build failed: {r.stderr[-500:]}")
+    return binary
+
+
+def canon(s):
+    return min(s, bits.revcomp_str(s))
+
+
+def read_fasta_seqs(path):
+    seqs, cur = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+            elif line:
+                cur.append(line)
+    if cur:
+        seqs.append("".join(cur))
+    return seqs
+
+
+def make_dataset(rng, tmpdir, n_transcripts=4, t_len=400,
+                 read_len=50, step=3):
+    from tests.test_e2e import unique_kmer_seq
+
+    transcripts = [unique_kmer_seq(rng, t_len, 23)
+                   for _ in range(n_transcripts)]
+    reads = []
+    for t in transcripts:
+        for i in range(0, len(t) - read_len + 1, step):
+            r = t[i : i + read_len]
+            reads.append(bits.revcomp_str(r) if rng.random() < 0.5 else r)
+    rng.shuffle(reads)
+    fa = os.path.join(tmpdir, "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(tmpdir, "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len={read_len}\n[LIB]\nasm_flags=3\nf={fa}\n")
+    return transcripts, cfg
+
+
+def test_contig_set_parity(rng, ref_binary, tmp_path):
+    transcripts, cfg = make_dataset(rng, str(tmp_path))
+    ref_out = os.path.join(str(tmp_path), "refasm")
+    subprocess.run(
+        [ref_binary, "pregraph", "-s", cfg, "-K", "23", "-p", "2",
+         "-o", ref_out], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [ref_binary, "contig", "-g", ref_out], capture_output=True,
+        timeout=300, check=True)
+    ref_contigs = {canon(s) for s in read_fasta_seqs(ref_out + ".contig")
+                   if len(s) >= 100}
+
+    our_out = os.path.join(str(tmp_path), "ourasm")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", "23"])
+    our_contigs = {canon(s) for s in read_fasta_seqs(our_out + ".contig")
+                   if len(s) >= 100}
+
+    assert ref_contigs, "reference produced no contigs"
+    missing = ref_contigs - our_contigs
+    extra = our_contigs - ref_contigs
+    assert not missing and not extra, (
+        f"missing {[len(s) for s in missing]} "
+        f"extra {[len(s) for s in extra]} "
+        f"(ref {len(ref_contigs)}, ours {len(our_contigs)})")
+
+
+def test_contig_set_parity_with_errors(rng, ref_binary, tmp_path):
+    """With sequencing errors both pipelines must clean to the same
+    long-contig set."""
+    from tests.test_e2e import simulate_reads, unique_kmer_seq
+
+    transcripts = [unique_kmer_seq(rng, 400, 23) for _ in range(3)]
+    reads = []
+    for t in transcripts:
+        reads += simulate_reads(rng, t, 50, 40, error_rate=0.003)
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len=50\n[LIB]\nasm_flags=3\nf={fa}\n")
+
+    ref_out = os.path.join(str(tmp_path), "refasm")
+    subprocess.run(
+        [ref_binary, "pregraph", "-s", cfg, "-K", "23", "-p", "2",
+         "-o", ref_out], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [ref_binary, "contig", "-g", ref_out], capture_output=True,
+        timeout=300, check=True)
+    ref_contigs = {canon(s) for s in read_fasta_seqs(ref_out + ".contig")
+                   if len(s) >= 150}
+
+    our_out = os.path.join(str(tmp_path), "ourasm")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", "23"])
+    our_contigs = {canon(s) for s in read_fasta_seqs(our_out + ".contig")
+                   if len(s) >= 150}
+
+    # long contigs (the transcripts themselves) must agree exactly
+    assert ref_contigs == our_contigs, (
+        f"ref {sorted(len(s) for s in ref_contigs)} vs "
+        f"ours {sorted(len(s) for s in our_contigs)}")
