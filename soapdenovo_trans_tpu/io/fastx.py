@@ -12,9 +12,8 @@ Pair discipline matches the reference's global read numbering
 q1/q2) are interleaved read1,read2,read1,read2..., and ``p`` files
 are taken as already interleaved.  ``reverse_seq=1`` libraries are
 reverse-complemented on input (reverse2k, readseq1by1.c:749).
-
-BAM input is not wired yet (reference links samtools' libbam); the
-.b config key raises for now.
+BAM files (``b=``) stream through the pure-Python reader in io/bam.py
+(reference links samtools' bundled libbam.a instead).
 """
 
 from __future__ import annotations
@@ -87,8 +86,10 @@ def lib_reads(lib: LibInfo, pairs_first: bool = True) -> Iterator[str]:
     """All reads of one library: paired sources first (interleaved),
     then singles — mirroring openFileInLib's source rotation
     (readseq1by1.c:697)."""
-    if lib.b:
-        raise NotImplementedError("BAM input not yet supported")
+    from . import bam as bam_mod
+
+    for b in lib.b:
+        yield from bam_mod.read_bam(b)
     for fa1, fa2 in zip(lib.f1, lib.f2):
         yield from _interleave(_reader_for(fa1), _reader_for(fa2))
     for fq1, fq2 in zip(lib.q1, lib.q2):

@@ -50,63 +50,58 @@ def chop_reads(seqs: jnp.ndarray, lengths: jnp.ndarray, k: int) -> KmerStream:
     seqs: (R, L) uint8 base codes (0..3, 4 for N/pad), lengths: (R,).
     Returns a KmerStream with N = R * (L - K + 1) rows (masked rows
     have valid=False), ordered read-major then position.
+
+    All windows pack simultaneously: each uint32 lane of the k-mer is
+    a fixed-weight sum of <=16 strided base slices (K shifted ORs over
+    (R, P) matrices), so there is no sequential rolling scan — every
+    op is batch-wide, which matters both for VPU utilization and for
+    dispatch counts.
     """
     r, l = seqs.shape
     assert l >= k, f"padded read length {l} < K={k}"
-    num_win = l - k + 1
-
-    comp = jnp.where(seqs < 4, seqs ^ 2, jnp.uint8(4))
-    is_n = (seqs >= 4).astype(jnp.int32)
-    # n_prefix[j] = number of N among bases [0, j)
-    n_prefix = jnp.concatenate(
-        [jnp.zeros((r, 1), jnp.int32), jnp.cumsum(is_n, axis=1)], axis=1
-    )
-
-    # Build the first window's forward kmer by scanning K bases.
-    def init_step(km, j):
-        return bits.next_kmer(km, seqs[:, j].astype(jnp.uint32), k), None
-
-    # derive the zero from seqs so the carry keeps seqs' device-varying
-    # axes when chop_reads runs inside shard_map
-    zero0 = bits.zero(k, (r,)) | (seqs[:, :1].astype(jnp.uint32) & 0)
-    km0, _ = jax.lax.scan(init_step, zero0, jnp.arange(k))
-    rc0 = bits.reverse_complement(km0, k)
-
-    def roll(carry, j):
-        fwd, rc = carry
-        # Emit window starting at j (fwd covers bases j..j+K-1).
-        can, use_rc = bits.canonical_pair(fwd, rc, k)
-        prev_f = jnp.where(j > 0, seqs[:, jnp.maximum(j - 1, 0)], jnp.uint8(4))
-        nxt_idx = jnp.minimum(j + k, l - 1)
-        in_range = j + k < l
-        nxt_valid = in_range & (j + k < lengths)
-        next_f = jnp.where(nxt_valid, seqs[:, nxt_idx], jnp.uint8(4))
-        prev_f = jnp.where(j - 1 < lengths, prev_f, jnp.uint8(4))
-        # canonical-orientation prev/next
-        prev_c = jnp.where(use_rc, jnp.where(next_f < 4, next_f ^ 2, 4), prev_f)
-        next_c = jnp.where(use_rc, jnp.where(prev_f < 4, prev_f ^ 2, 4), next_f)
-        valid = (j + k <= lengths) & (
-            (n_prefix[:, jnp.minimum(j + k, l)] - n_prefix[:, j]) == 0
-        )
-        # Roll to window j+1 by appending base j+K.
-        b = seqs[:, nxt_idx].astype(jnp.uint32)
-        bc = comp[:, nxt_idx].astype(jnp.uint32)
-        fwd_n = bits.next_kmer(fwd, b, k)
-        rc_n = bits.prev_kmer(rc, bc, k)
-        return (fwd_n, rc_n), (can, prev_c.astype(jnp.uint8),
-                               next_c.astype(jnp.uint8), valid, use_rc)
-
-    (_, _), (kms, prevs, nexts, valids, rcs) = jax.lax.scan(
-        roll, (km0, rc0), jnp.arange(num_win)
-    )
-
-    # (num_win, R, ...) -> read-major flat order (R, num_win) -> (N,)
+    p = l - k + 1
     w = bits.words_for_k(k)
-    kms = jnp.swapaxes(kms, 0, 1).reshape(r * num_win, w)
-    prevs = jnp.swapaxes(prevs, 0, 1).reshape(-1)
-    nexts = jnp.swapaxes(nexts, 0, 1).reshape(-1)
-    valids = jnp.swapaxes(valids, 0, 1).reshape(-1)
-    rcs = jnp.swapaxes(rcs, 0, 1).reshape(-1)
-    read_id = jnp.repeat(jnp.arange(r, dtype=jnp.int32), num_win)
-    pos = jnp.tile(jnp.arange(num_win, dtype=jnp.int32), r)
-    return KmerStream(kms, prevs, nexts, valids, read_id, pos, rcs)
+
+    b = (seqs & 3).astype(jnp.uint32)  # N clamped; N windows masked below
+    is_n = (seqs >= 4).astype(jnp.int32)
+    n_prefix = jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), jnp.cumsum(is_n, axis=1)], axis=1)
+
+    words = []
+    for wi in range(w):           # wi = 0 is the most-significant lane
+        q = w - 1 - wi            # lane index counted from the LSB
+        acc = jnp.zeros((r, p), jnp.uint32)
+        for i in range(k):        # base i of the window
+            pbit = 2 * (k - 1 - i)
+            if pbit // 32 != q:
+                continue
+            acc = acc | (b[:, i : i + p] << (pbit % 32))
+        words.append(acc)
+    fwd = jnp.stack(words, axis=-1).reshape(r * p, w)
+
+    rc = bits.reverse_complement(fwd, k)
+    can, use_rc = bits.canonical_pair(fwd, rc, k)
+
+    win = jnp.arange(p, dtype=jnp.int32)[None, :]
+    valid = ((win + k) <= lengths[:, None]) & \
+        ((n_prefix[:, k:] - n_prefix[:, :p]) == 0)
+
+    prev_f = jnp.concatenate(
+        [jnp.full((r, 1), 4, jnp.uint8), seqs[:, : p - 1]], axis=1)
+    next_f = jnp.concatenate(
+        [seqs[:, k:], jnp.full((r, 1), 4, jnp.uint8)], axis=1)
+    next_f = jnp.where((win + k) < lengths[:, None], next_f, jnp.uint8(4))
+
+    prev_f = prev_f.reshape(-1)
+    next_f = next_f.reshape(-1)
+    use_rc_f = use_rc.reshape(-1)
+    prev_c = jnp.where(use_rc_f,
+                       jnp.where(next_f < 4, next_f ^ 2, 4), prev_f)
+    next_c = jnp.where(use_rc_f,
+                       jnp.where(prev_f < 4, prev_f ^ 2, 4), next_f)
+
+    read_id = jnp.repeat(jnp.arange(r, dtype=jnp.int32), p)
+    pos = jnp.tile(jnp.arange(p, dtype=jnp.int32), r)
+    return KmerStream(can, prev_c.astype(jnp.uint8),
+                      next_c.astype(jnp.uint8), valid.reshape(-1),
+                      read_id, pos, use_rc_f)

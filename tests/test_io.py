@@ -1,0 +1,106 @@
+"""IO layer: config parsing, FASTA/FASTQ/BAM readers, batching."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from soapdenovo_trans_tpu.io import bam, fastx, libconfig
+
+
+def test_config_parse(tmp_path):
+    cfg = tmp_path / "t.config"
+    cfg.write_text(
+        "#comment\nmax_rd_len=100\n"
+        "[LIB]\navg_ins=500\nreverse_seq=1\nasm_flags=2\nmap_len=40\n"
+        "q1=a_1.fq\nq2=a_2.fq\n"
+        "[LIB]\navg_ins=200\nasm_flags=3\nf=s.fa\np=p.fa\n")
+    c = libconfig.parse_config(str(cfg))
+    assert c.max_rd_len == 100
+    assert len(c.libs) == 2
+    # sorted by avg_ins ascending (reference cmp_lib)
+    assert c.libs[0].avg_ins == 200 and c.libs[1].avg_ins == 500
+    assert c.libs[1].reverse_seq == 1 and c.libs[1].map_len == 40
+    assert c.libs[0].p == ["p.fa"] and c.libs[0].f == ["s.fa"]
+    assert c.libs[1].has_pairs
+
+
+def test_fastq_gz_roundtrip(tmp_path):
+    fq = tmp_path / "r.fq.gz"
+    with gzip.open(fq, "wt") as fh:
+        for i, s in enumerate(["ACGTACGT", "GGGTTTAA"]):
+            fh.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    assert list(fastx.read_fastq(str(fq))) == ["ACGTACGT", "GGGTTTAA"]
+
+
+def test_pair_interleave_and_reverse(tmp_path):
+    f1 = tmp_path / "a_1.fa"
+    f2 = tmp_path / "a_2.fa"
+    fastx.write_fasta(str(f1), [("x", "ACGT"), ("y", "TTTT")])
+    fastx.write_fasta(str(f2), [("x", "CCCC"), ("y", "GGGA")])
+    cfg = tmp_path / "t.config"
+    cfg.write_text(
+        f"max_rd_len=10\n[LIB]\nreverse_seq=1\nasm_flags=3\n"
+        f"f1={f1}\nf2={f2}\n")
+    c = libconfig.parse_config(str(cfg))
+    batches = list(fastx.config_read_batches(c, batch_size=8))
+    assert len(batches) == 1
+    codes, lens, li = batches[0]
+    # interleaved pairs, each reverse-complemented (reverse_seq=1)
+    from soapdenovo_trans_tpu.ops import bits
+
+    got = [bits.decode_seq(codes[i][: lens[i]]) for i in range(4)]
+    assert got == ["ACGT", "GGGG", "AAAA", "TCCC"]
+
+
+def _write_fake_bam(path, records):
+    """records: list of (seq, flag)."""
+    payload = b"BAM\x01"
+    payload += struct.pack("<i", 0)      # l_text
+    payload += struct.pack("<i", 1)      # n_ref
+    payload += struct.pack("<i", 4) + b"ref\x00" + struct.pack("<i", 1000)
+    nt16 = {c: "=ACMGRSVTWYHKDBN".index(c) for c in "ACGTN"}
+    for seq, flag in records:
+        name = b"r\x00"
+        seq4 = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = nt16[seq[i]] << 4
+            lo = nt16[seq[i + 1]] if i + 1 < len(seq) else 0
+            seq4.append(hi | lo)
+        rec = struct.pack("<iiBBHHHiiii", 0, 0, len(name), 0, 0, 0,
+                          flag, len(seq), -1, -1, 0)
+        rec += name + bytes(seq4) + b"\xff" * len(seq)  # qual
+        payload += struct.pack("<i", len(rec)) + rec
+    with gzip.open(path, "wb") as fh:
+        fh.write(payload)
+
+
+def test_bam_reader(tmp_path):
+    p = str(tmp_path / "t.bam")
+    _write_fake_bam(p, [
+        ("ACGTACGTAA", 0),
+        ("TTGGCCAATT", 0x10),   # reverse strand -> complemented back
+        ("AAAACCCCGG", 0x200),  # QC fail -> dropped
+        ("NNACGTACGT", 0x400),  # duplicate -> dropped
+        ("ACGTNNGTAC", 0),
+    ])
+    got = list(bam.read_bam(p))
+    assert got == [
+        "ACGTACGTAA",
+        "AATTGGCCAA",  # revcomp of TTGGCCAATT
+        "ACGTNNGTAC",
+    ]
+
+
+def test_bam_in_config(tmp_path):
+    p = str(tmp_path / "t.bam")
+    _write_fake_bam(p, [("ACGTACGTACGTACGTACGT", 0)] * 3)
+    cfg = tmp_path / "t.config"
+    cfg.write_text(f"max_rd_len=30\n[LIB]\nasm_flags=3\nb={p}\n")
+    c = libconfig.parse_config(str(cfg))
+    batches = list(fastx.config_read_batches(c, batch_size=4))
+    assert len(batches) == 1
+    codes, lens, _li = batches[0]
+    assert (np.asarray(lens) > 0).sum() == 3
