@@ -128,6 +128,20 @@ def config_read_batches(
             continue
         cutoff = lib.rd_len_cutoff or max_len
         eff_len = min(max_len, cutoff)
+
+        # Fast path: libraries made only of single-stream text sources
+        # (singles and pre-interleaved `p` pairs) with no on-input
+        # transform stream through the native C++ decoder.
+        from . import native
+
+        simple = (not lib.f1 and not lib.q1 and not lib.b and
+                  not lib.reverse_seq and native.available())
+        if simple:
+            for path in list(lib.p) + lib.f + lib.q:
+                for codes, lens in native_iter(path, batch_size, eff_len):
+                    yield codes, lens, li
+            continue
+
         buf = np.zeros((batch_size, eff_len), dtype=np.uint8)
         lens = np.zeros(batch_size, dtype=np.int32)
         fill = 0
@@ -146,6 +160,13 @@ def config_read_batches(
             buf[fill:] = 4
             lens[fill:] = 0
             yield buf, lens, li
+
+
+def native_iter(path, batch_size, eff_len):
+    from . import native
+
+    for codes, lens in native.read_batches(path, batch_size, eff_len):
+        yield codes, lens
 
 
 def write_fasta(path: str, records: Sequence[Tuple[str, str]],

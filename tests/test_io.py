@@ -104,3 +104,33 @@ def test_bam_in_config(tmp_path):
     assert len(batches) == 1
     codes, lens, _li = batches[0]
     assert (np.asarray(lens) > 0).sum() == 3
+
+
+def test_native_decoder_matches_python(tmp_path):
+    from soapdenovo_trans_tpu.io import native
+    from soapdenovo_trans_tpu.ops import bits
+
+    if not native.available():
+        pytest.skip("no g++/zlib toolchain")
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGTN"), size=int(rng.integers(5, 90))))
+             for _ in range(37)]
+    fa = str(tmp_path / "r.fa")
+    fastx.write_fasta(fa, [(f"r{i}", s) for i, s in enumerate(reads)])
+    fq = str(tmp_path / "r.fq.gz")
+    with gzip.open(fq, "wt") as fh:
+        for i, s in enumerate(reads):
+            fh.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    for path in (fa, fq):
+        got = []
+        for codes, lengths in native.read_batches(path, 8, 100):
+            for i in range(8):
+                if lengths[i] > 0:
+                    got.append(bits.decode_seq(codes[i][: lengths[i]]))
+        assert got == reads, path
+    # truncation at max_len, mirroring rd_len_cutoff
+    for codes, lengths in native.read_batches(fa, 64, 20):
+        for i, s in enumerate(reads):
+            assert lengths[i] == min(len(s), 20)
+        break
