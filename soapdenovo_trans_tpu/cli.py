@@ -100,9 +100,19 @@ def run_pregraph_cmd(args):
     cfg = libconfig.parse_config(args.config)
     if args.k % 2 == 0 or not (13 <= args.k <= 127):
         sys.exit("K must be odd and within 13..127")
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+
+        from .parallel import sharded_count
+        mesh = Mesh(np.array(jax.devices()), (sharded_count.AXIS,))
+        print(f"[pregraph] sharding kmer space over "
+              f"{len(jax.devices())} devices")
     res = pg_stage.run_pregraph(
         _read_batches(cfg), args.k,
-        low_freq_cutoff=getattr(args, "low_kmer", 0))
+        low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh)
     hist = pg_stage.kmer_freq_histogram(res.table)
     stagefiles.write_kmer_freq(args.out + ".kmerFreq", hist)
     stagefiles.write_pregraph_basic(

@@ -14,6 +14,7 @@ import dataclasses
 import time
 from typing import Iterable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,9 +34,16 @@ class PregraphResult:
     k: int
 
 
-def count_reads(batches, k: int) -> dictionary.KmerTable:
+def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     """Pass 1: k-mer counting with per-batch build + merge
-    (reference prlRead2HashTable's batch loop, prlHashReads.c:338)."""
+    (reference prlRead2HashTable's batch loop, prlHashReads.c:338).
+
+    With a mesh, batches are data-parallel over devices and the k-mer
+    space is prefix-sharded with all_to_all routing
+    (parallel/sharded_count.py); per-batch shard tables merge into one
+    host table for the (currently single-device) graph passes."""
+    if mesh is not None:
+        return _count_reads_sharded(batches, k, mesh)
     table: Optional[dictionary.KmerTable] = None
     n_reads = 0
     for codes, lengths, _lib in batches:
@@ -43,6 +51,44 @@ def count_reads(batches, k: int) -> dictionary.KmerTable:
         t = dictionary.build(stream)
         table = t if table is None else dictionary.merge(table, t)
         n_reads += int((np.asarray(lengths) > 0).sum())
+    if table is None:
+        raise ValueError("no reads")
+    return table
+
+
+def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import sharded_count
+
+    d = mesh.shape[sharded_count.AXIS]
+    sh2 = NamedSharding(mesh, P(sharded_count.AXIS, None))
+    sh1 = NamedSharding(mesh, P(sharded_count.AXIS))
+    table: Optional[dictionary.KmerTable] = None
+    runners = {}
+    for codes, lengths, _lib in batches:
+        r, l = codes.shape
+        if r % d:  # pad rows so the batch splits evenly over devices
+            pad = d - r % d
+            codes = np.concatenate(
+                [codes, np.full((pad, l), 4, np.uint8)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad, lengths.dtype)])
+            r += pad
+        key = (r, l)
+        if key not in runners:
+            runners[key] = sharded_count.make_sharded_counter(
+                mesh, k, r // d, l)
+        st = runners[key](
+            jax.device_put(jnp.asarray(codes), sh2),
+            jax.device_put(jnp.asarray(lengths), sh1))
+        dropped = int(jnp.sum(st.dropped))
+        if dropped:
+            raise RuntimeError(
+                f"sharded counter dropped {dropped} kmers — raise "
+                f"bucket_cap (shard imbalance)")
+        t = sharded_count.gather_to_table(st)
+        table = t if table is None else dictionary.merge(table, t)
     if table is None:
         raise ValueError("no reads")
     return table
@@ -61,12 +107,12 @@ def delete_low_freq(table: dictionary.KmerTable,
 
 def run_pregraph(batch_iter_factory, k: int,
                  low_freq_cutoff: int = 0,
-                 clip_tips: bool = True) -> PregraphResult:
+                 clip_tips: bool = True, mesh=None) -> PregraphResult:
     """batch_iter_factory: zero-arg callable returning a fresh iterator
     of (codes, lengths, lib) batches — called twice (two read passes,
     like the reference)."""
     t0 = time.time()
-    table = count_reads(batch_iter_factory(), k)
+    table = count_reads(batch_iter_factory(), k, mesh=mesh)
     print(f"[pregraph] {int(table.n)} distinct kmers "
           f"({time.time() - t0:.1f}s)")
     table = delete_low_freq(table, low_freq_cutoff)

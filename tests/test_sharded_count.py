@@ -73,3 +73,35 @@ def test_shard_count_invariance(rng):
     assert int(b.n) == n
     assert np.array_equal(np.asarray(a.keys[:n]), np.asarray(b.keys[:n]))
     assert np.array_equal(np.asarray(a.count[:n]), np.asarray(b.count[:n]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pregraph_end_to_end(rng):
+    """run_pregraph with a mesh must produce the same edges/arcs as
+    the single-device path."""
+    from soapdenovo_trans_tpu.graph import unitigs
+    from soapdenovo_trans_tpu.stages import pregraph as pg
+
+    reads = []
+    t = "".join(rng.choice(list("ACGT"), size=300))
+    for i in range(0, 251, 5):
+        reads.append(t[i : i + 50])
+    codes = np.full((64, 50), 4, np.uint8)
+    lens = np.zeros(64, np.int32)
+    from soapdenovo_trans_tpu.ops import bits
+    for i, s in enumerate(reads):
+        codes[i, : len(s)] = bits.encode_seq(s)
+        lens[i] = len(s)
+
+    def factory():
+        return iter([(codes, lens, 0)])
+
+    single = pg.run_pregraph(factory, K, clip_tips=False)
+    mesh = Mesh(np.array(jax.devices()[:8]), (sharded_count.AXIS,))
+    sharded = pg.run_pregraph(factory, K, clip_tips=False, mesh=mesh)
+    n = int(single.table.n)
+    assert int(sharded.table.n) == n
+    assert np.array_equal(np.asarray(single.table.keys[:n]),
+                          np.asarray(sharded.table.keys[:n]))
+    assert int(single.edges.n_edges) == int(sharded.edges.n_edges)
+    assert int(single.arcs.n) == int(sharded.arcs.n)
