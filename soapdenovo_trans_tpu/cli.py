@@ -216,8 +216,13 @@ def run_map_cmd(args, ctg=None, table=None):
         r, l = codes.shape
         p = l - k + 1
         if lib.has_pairs and lib.avg_ins > 0:
+            ins, n_obs = connections.estimate_insert_size(
+                pl.ctg, pl.pos, ctg.twin, full_len, lib.avg_ins)
+            if ins != lib.avg_ins:
+                print(f"[map] lib {li}: insert size re-estimated "
+                      f"{lib.avg_ins} -> {ins} ({n_obs} pairs)")
             f, t, g, v = connections.pe_link_candidates(
-                pl.ctg, pl.pos, ctg.twin, full_len, lib.avg_ins, k)
+                pl.ctg, pl.pos, ctg.twin, full_len, ins, k)
             cand_f.append(f); cand_t.append(t); cand_g.append(g)
             cand_v.append(v); cand_se.append(jnp.zeros_like(v))
         f, t, g, v = connections.se_link_candidates(

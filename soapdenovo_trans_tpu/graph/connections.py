@@ -168,3 +168,33 @@ def aggregate(f, t, g, is_se, valid) -> ConnSet:
         jnp.where(live, weight[:cap], 0),
         jnp.where(live, sesum[:cap], 0),
         jnp.int32(n))
+
+
+@jax.jit
+def same_contig_fragments(ctg, pos, twin, ctg_len):
+    """Fragment sizes of pairs whose mates land on the same contig
+    (reference attach1PE's e1 == e2 branch + calcuIS,
+    attachPEinfo.c:283-300, 425): realpeSize = full_len - p1 - p2.
+    Returns (sizes, valid) per pair."""
+    e1 = ctg[0::2]
+    p1 = pos[0::2]
+    bal_e2 = ctg[1::2]
+    p2 = pos[1::2]
+    e2 = _gather_or(twin, bal_e2, -1)
+    ok = (e1 >= 0) & (bal_e2 >= 0) & (e1 == e2) & (e1 != bal_e2)
+    size = _gather_or(ctg_len, e1, 0) - p1 - p2
+    ok &= size > 0
+    return jnp.where(ok, size, 0), ok
+
+
+def estimate_insert_size(ctg, pos, twin, ctg_len, declared: int,
+                         min_pairs: int = 100):
+    """Mean observed fragment size on long contigs; falls back to the
+    declared avg_ins below min_pairs observations."""
+    size, ok = same_contig_fragments(ctg, pos, twin, ctg_len)
+    ok = ok & (_gather_or(ctg_len, ctg[0::2], 0) > declared)
+    n = int(jnp.sum(ok))
+    if n < min_pairs:
+        return declared, n
+    est = int(jnp.sum(jnp.where(ok, size, 0))) // n
+    return est, n
