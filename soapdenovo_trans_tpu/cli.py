@@ -298,6 +298,10 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     recs, transcripts, stats = scaff_stage.run_scaff(
         ctg, conn, k, table, params, ctg_arcs=ctg.arcs)
     fastx.write_fasta(args.out + ".scafSeq", recs)
+    from .io import stagefiles
+    stagefiles.write_scaf_files(
+        args.out, transcripts, recs,
+        np.asarray(ctg.length) + k, np.asarray(ctg.twin))
     with open(args.out + ".scafStatistics", "w") as fh:
         for key, val in stats.items():
             fh.write(f"{key}\t{val}\n")

@@ -106,3 +106,50 @@ def write_contig_index(path: str, contigs, k: int, perm) -> None:
             else:
                 fh.write(f"{i + 1}\t{lengths[row]}\t0\n")
                 i += 1
+
+
+def write_scaf_files(prefix: str, transcripts, recs, ctg_len_full,
+                     twin) -> None:
+    """.scaf / .scaf_gap / .contigPosInscaff / .agp
+    (reference outputOneTranscriptome transcriptome.c:1158-1219 and
+    prlReadFillGap's outputSeqs :1174).  Contig ids are this
+    pipeline's contig rows (the reference renumbers via index_array;
+    our .ContigIndex carries the same mapping)."""
+    scaf = open(prefix + ".scaf", "w")
+    scaf_gap = open(prefix + ".scaf_gap", "w")
+    cpis = open(prefix + ".contigPosInscaff", "w")
+    agp = open(prefix + ".agp", "w")
+    for idx, tr in enumerate(transcripts, start=1):
+        total = 0
+        for i, c in enumerate(tr.contigs):
+            total += int(ctg_len_full[c])
+            if i < len(tr.gaps):
+                total += max(tr.gaps[i], 0)
+        head = (f">scaffold{idx} {len(tr.contigs)} {total} "
+                f"Locus_{tr.locus}_{tr.index} {tr.kind}\n")
+        scaf.write(head)
+        scaf_gap.write(head)
+        cpis.write(f">scaffold{idx}\n")
+        pos = 0
+        part = 0
+        for i, c in enumerate(tr.contigs):
+            fwd = c <= int(twin[c])
+            rep = c if fwd else int(twin[c])
+            ln = int(ctg_len_full[c])
+            scaf.write(f"{rep:<10d} {pos:<10d} {'+' if fwd else '-'}   "
+                       f"{ln} \n")
+            scaf_gap.write(f"{c:<10d} {pos:<10d}\n")
+            cpis.write(f"{rep}\t{pos}\t{pos + ln}\t"
+                       f"{'+' if fwd else '-'}\n")
+            part += 1
+            agp.write(f"scaffold{idx}\t{pos + 1}\t{pos + ln}\t{part}\t"
+                      f"W\tC{rep}\t1\t{ln}\t{'+' if fwd else '-'}\n")
+            pos += ln
+            if i < len(tr.gaps) and tr.gaps[i] > 0:
+                part += 1
+                agp.write(f"scaffold{idx}\t{pos + 1}\t"
+                          f"{pos + tr.gaps[i]}\t{part}\tN\t"
+                          f"{tr.gaps[i]}\tscaffold\tyes\tpaired-ends\n")
+                pos += tr.gaps[i]
+    for fh in (scaf, scaf_gap, cpis, agp):
+        fh.close()
