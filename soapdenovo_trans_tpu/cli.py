@@ -335,21 +335,34 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
 
 
 def main(argv=None):
+    from .utils import profiling
+
     args = build_parser().parse_args(argv)
+    profiling.reset()
     t0 = time.time()
-    if args.cmd == "pregraph":
-        run_pregraph_cmd(args)
-    elif args.cmd == "contig":
-        run_contig_cmd(args)
-    elif args.cmd == "map":
-        run_map_cmd(args)
-    elif args.cmd == "scaff":
-        run_scaff_cmd(args)
-    elif args.cmd == "all":
-        res = run_pregraph_cmd(args)
-        ctg = run_contig_cmd(args, res)
-        conn = run_map_cmd(args, ctg=ctg, table=res.table)
-        run_scaff_cmd(args, ctg=ctg, table=res.table, conn=conn)
+    with profiling.device_trace():
+        if args.cmd == "pregraph":
+            with profiling.stage_timer("pregraph"):
+                run_pregraph_cmd(args)
+        elif args.cmd == "contig":
+            with profiling.stage_timer("contig"):
+                run_contig_cmd(args)
+        elif args.cmd == "map":
+            with profiling.stage_timer("map"):
+                run_map_cmd(args)
+        elif args.cmd == "scaff":
+            with profiling.stage_timer("scaff"):
+                run_scaff_cmd(args)
+        elif args.cmd == "all":
+            with profiling.stage_timer("pregraph"):
+                res = run_pregraph_cmd(args)
+            with profiling.stage_timer("contig"):
+                ctg = run_contig_cmd(args, res)
+            with profiling.stage_timer("map"):
+                conn = run_map_cmd(args, ctg=ctg, table=res.table)
+            with profiling.stage_timer("scaff"):
+                run_scaff_cmd(args, ctg=ctg, table=res.table, conn=conn)
+    print(profiling.timing_table())
     print(f"[done] total {time.time() - t0:.1f}s")
 
 
