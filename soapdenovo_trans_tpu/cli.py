@@ -55,12 +55,25 @@ def build_parser():
 
     mp = sub.add_parser("map", help="reads -> contig placements")
     _add_common(mp)
+    mp.add_argument("-f", dest="gap_reads", action="store_true",
+                    help="output gap related reads "
+                         "(.readInGap/.PEreadOnContig.gz/"
+                         ".shortreadInGap.gz)")
+    mp.add_argument("-r", dest="read_trace", action="store_true")
+    mp.add_argument("-R", dest="rpkm", action="store_true")
 
     sc = sub.add_parser("scaff", help="links -> transcripts")
     sc.add_argument("-g", dest="out", required=True)
+    sc.add_argument("-s", dest="config", default=None,
+                    help="lib config (needed to re-stream reads for -F)")
     sc.add_argument("-L", dest="min_contig", type=int, default=100)
     sc.add_argument("-t", dest="max_transcripts", type=int, default=5)
+    sc.add_argument("-G", dest="gap_len_diff", type=int, default=50,
+                    help="allowed gap-size error for gap filling")
     sc.add_argument("-F", dest="fill_gaps", action="store_true")
+    sc.add_argument("-S", dest="skip_scaffold", action="store_true",
+                    help="elongate initial scaffolds only (resume "
+                         "without rebuilding the transcript structure)")
     sc.add_argument("-r", dest="read_trace", action="store_true",
                     help="write .readOnScaf")
     sc.add_argument("-R", dest="rpkm", action="store_true",
@@ -77,20 +90,62 @@ def build_parser():
     al.add_argument("-H", dest="high_arc", type=int, default=200)
     al.add_argument("-L", dest="min_contig", type=int, default=100,
                     help="minimum contig length for scaffolding")
+    al.add_argument("-G", dest="gap_len_diff", type=int, default=50)
     al.add_argument("-F", dest="fill_gaps", action="store_true")
+    al.add_argument("-f", dest="gap_reads", action="store_true")
+    al.add_argument("-S", dest="skip_scaffold", action="store_true")
     al.add_argument("-t", dest="max_transcripts", type=int, default=5)
     al.add_argument("-r", dest="read_trace", action="store_true")
     al.add_argument("-R", dest="rpkm", action="store_true")
     return ap
 
 
+class _CountingFactory:
+    """Read-batch factory that tallies per-lib read counts on its
+    first pass (for the .peGrads boundaries, reference
+    prlHashReads.c:626-645)."""
+
+    def __init__(self, cfg, batch_size=4096):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.lib_counts = None
+
+    def __call__(self):
+        from .io import fastx
+
+        count = self.lib_counts is None
+        if count:
+            self.lib_counts = {}
+
+        def gen():
+            for codes, lens, li in fastx.config_read_batches(
+                    self.cfg, self.batch_size):
+                if count:
+                    self.lib_counts[li] = self.lib_counts.get(li, 0) + \
+                        int((lens > 0).sum())
+                yield codes, lens, li
+
+        return gen()
+
+    def pe_grads(self):
+        """[(insertS, cumulative read bound, rank, pair_num_cut)] over
+        PE libs in ascending insert order (reference lib sort,
+        lib.c:97)."""
+        counts = self.lib_counts or {}
+        libs = sorted(
+            ((li, lib) for li, lib in enumerate(self.cfg.libs)),
+            key=lambda x: x[1].avg_ins)
+        grads, bound = [], 0
+        for li, lib in libs:
+            bound += counts.get(li, 0)
+            if lib.avg_ins > 0 and lib.has_pairs:
+                grads.append((lib.avg_ins, bound, 0,
+                              getattr(lib, "pair_num_cut", 0) or 3))
+        return grads, bound
+
+
 def _read_batches(cfg, batch_size=4096):
-    from .io import fastx
-
-    def factory():
-        return fastx.config_read_batches(cfg, batch_size)
-
-    return factory
+    return _CountingFactory(cfg, batch_size)
 
 
 def run_pregraph_cmd(args):
@@ -110,11 +165,16 @@ def run_pregraph_cmd(args):
         mesh = Mesh(np.array(jax.devices()), (sharded_count.AXIS,))
         print(f"[pregraph] sharding kmer space over "
               f"{len(jax.devices())} devices")
+    factory = _read_batches(cfg)
     res = pg_stage.run_pregraph(
-        _read_batches(cfg), args.k,
+        factory, args.k,
         low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh)
     hist = pg_stage.kmer_freq_histogram(res.table)
     stagefiles.write_kmer_freq(args.out + ".kmerFreq", hist)
+    grads, n_reads = factory.pe_grads()
+    if grads:
+        stagefiles.write_pe_grads(
+            args.out + ".peGrads", grads, n_reads, cfg.max_rd_len)
     stagefiles.write_pregraph_basic(
         args.out + ".preGraphBasic",
         n_vertex=int(res.table.n), k=args.k,
@@ -201,6 +261,11 @@ def run_map_cmd(args, ctg=None, table=None):
 
     cand_f, cand_t, cand_g, cand_v, cand_se = [], [], [], [], []
     placements = []
+    batch_ins = []  # per batch: insert size used (0 for SE libs)
+    want_f = getattr(args, "gap_reads", False)
+    ctg2read_rows = []   # .ctg2Read: qualifying (read, contig) groups
+    pe_rows, gap_rows, short_reads = [], [], []  # -f payloads
+    base = 0             # global read counter across batches
     n_ctg_rows = ctg.length.shape[0]
     unique = jnp.asarray(
         (np.arange(n_ctg_rows) < int(ctg.n)) &
@@ -215,9 +280,11 @@ def run_map_cmd(args, ctg=None, table=None):
         placements.append((pl, li))
         r, l = codes.shape
         p = l - k + 1
+        ins_for_batch = 0
         if lib.has_pairs and lib.avg_ins > 0:
             ins, n_obs = connections.estimate_insert_size(
                 pl.ctg, pl.pos, ctg.twin, full_len, lib.avg_ins)
+            ins_for_batch = int(ins)
             if ins != lib.avg_ins:
                 print(f"[map] lib {li}: insert size re-estimated "
                       f"{lib.avg_ins} -> {ins} ({n_obs} pairs)")
@@ -230,6 +297,41 @@ def run_map_cmd(args, ctg=None, table=None):
             r, p, k, twin=ctg.twin, ctg_len=full_len, unique=unique)
         cand_f.append(f); cand_t.append(t); cand_g.append(g)
         cand_v.append(v); cand_se.append(jnp.ones_like(v))
+        batch_ins.append(np.full(r, ins_for_batch, np.int32))
+
+        # .ctg2Read: all >=multi alignment groups (recordAlldgn,
+        # reference prlRead2Ctg.c:570-574)
+        gv = np.asarray(pl.g_valid)
+        qi = np.nonzero(gv)[0]
+        if qi.size:
+            gr = np.asarray(pl.g_read)[qi]
+            gc = np.asarray(pl.g_ctg)[qi]
+            go = np.asarray(pl.g_ctg_off)[qi]
+            gro = np.asarray(pl.g_read_off)[qi]
+            ctg2read_rows.extend(
+                (base + int(gr[i]) + 1, int(gc[i]),
+                 int(gro[i]) - int(go[i]), "+") for i in range(qi.size))
+        if want_f and lib.has_pairs:
+            cb = np.asarray(pl.ctg)
+            pb = np.asarray(pl.pos)
+            lnp = np.asarray(lengths)
+            for t2 in range(1, r, 2):
+                rn1, rn2 = base + t2, base + t2 + 1  # 1-based readnos
+                c1m, c2m = int(cb[t2 - 1]), int(cb[t2])
+                if c1m >= 0 and c2m >= 0:
+                    pe_rows.append((rn1, c1m, int(pb[t2 - 1]),
+                                    c2m, int(pb[t2])))
+                elif c2m < 0 <= c1m and lnp[t2] > 0:
+                    pos = int(pb[t2 - 1]) + ins_for_batch - int(lnp[t2])
+                    gap_rows.append((rn2, c1m, pos))
+                    short_reads.append(
+                        (rn2, np.asarray(codes[t2, : lnp[t2]])))
+                elif c1m < 0 <= c2m and lnp[t2 - 1] > 0:
+                    pos = int(pb[t2]) + ins_for_batch - int(lnp[t2 - 1])
+                    gap_rows.append((rn1, c2m, pos))
+                    short_reads.append(
+                        (rn1, np.asarray(codes[t2 - 1, : lnp[t2 - 1]])))
+        base += r
 
     if not cand_f:  # no scaffolding libraries (asm_flags & 2 unset)
         cand_f = [jnp.full(1, -1, jnp.int32)]
@@ -248,9 +350,12 @@ def run_map_cmd(args, ctg=None, table=None):
     read_pos = np.concatenate(
         [np.asarray(pl.pos) for pl, _ in placements]) if placements \
         else np.zeros(0, np.int32)
+    read_ins = np.concatenate(batch_ins) if batch_ins \
+        else np.zeros(0, np.int32)
     with open(args.out + ".links.pkl", "wb") as fh:
         pickle.dump({"k": k, "conn": _to_np(conn),
-                     "read_ctg": read_ctg, "read_pos": read_pos}, fh)
+                     "read_ctg": read_ctg, "read_pos": read_pos,
+                     "read_ins": read_ins}, fh)
     # .readOnContig (text, reference format: readno ctg pos orien)
     with open(args.out + ".readOnContig", "w") as fh:
         fh.write("read\tcontig\tpos\n")
@@ -264,7 +369,18 @@ def run_map_cmd(args, ctg=None, table=None):
                 if arr_c[i] >= 0:
                     orien = "-" if arr_r[i] else "+"
                     fh.write(f"{readno}\t{arr_c[i]}\t{arr_p[i]}\t{orien}\n")
-    print(f"[map] wrote {args.out}.readOnContig/.links.pkl")
+    from .io import stagefiles
+    stagefiles.write_ctg2read(args.out + ".ctg2Read", ctg2read_rows)
+    if want_f:
+        stagefiles.write_read_in_gap(args.out + ".readInGap", gap_rows)
+        stagefiles.write_pe_read_on_contig(
+            args.out + ".PEreadOnContig.gz", pe_rows)
+        stagefiles.write_short_read_in_gap(
+            args.out + ".shortreadInGap.gz", short_reads)
+        print(f"[map] wrote {len(gap_rows)} gap reads "
+              f"(.readInGap/.shortreadInGap.gz), "
+              f"{len(pe_rows)} PE placements (.PEreadOnContig.gz)")
+    print(f"[map] wrote {args.out}.readOnContig/.ctg2Read/.links.pkl")
     return conn
 
 
@@ -294,11 +410,32 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
 
     params = scaff_stage.ScaffParams(
         min_unique_len=getattr(args, "min_contig", 100),
-        max_transcripts=getattr(args, "max_transcripts", 5))
-    recs, transcripts, stats = scaff_stage.run_scaff(
-        ctg, conn, k, table, params, ctg_arcs=ctg.arcs)
-    fastx.write_fasta(args.out + ".scafSeq", recs)
+        max_transcripts=getattr(args, "max_transcripts", 5),
+        gap_len_diff=getattr(args, "gap_len_diff", 50),
+        fill_gaps=getattr(args, "fill_gaps", False))
+    gap_read_source = None
+    if params.fill_gaps and getattr(args, "config", None) and \
+            link_extra.get("read_ctg") is not None:
+        from .io import libconfig as _libcfg
+        _cfg = _libcfg.parse_config(args.config)
+        gap_read_source = (
+            link_extra["read_ctg"], link_extra["read_pos"],
+            lambda: fastx.config_read_batches(_cfg, 4096, purpose=2),
+            link_extra.get("read_ins"))
     from .io import stagefiles
+    preset = None
+    if getattr(args, "skip_scaffold", False):
+        full_len_np = np.asarray(ctg.length) + k
+        preset = stagefiles.read_scaf_gap(
+            args.out + ".scaf_gap", full_len_np)
+        print(f"[scaff] -S: reusing {len(preset)} transcript "
+              f"structures from {args.out}.scaf_gap")
+    recs, transcripts, stats, gap_report = scaff_stage.run_scaff(
+        ctg, conn, k, table, params, ctg_arcs=ctg.arcs,
+        gap_read_source=gap_read_source, preset_transcripts=preset)
+    fastx.write_fasta(args.out + ".scafSeq", recs)
+    stagefiles.write_gap_seq(args.out + ".gapSeq", gap_report)
+    stagefiles.write_links(args.out + ".links", conn)
     stagefiles.write_scaf_files(
         args.out, transcripts, recs,
         np.asarray(ctg.length) + k, np.asarray(ctg.twin))

@@ -108,6 +108,125 @@ def write_contig_index(path: str, contigs, k: int, perm) -> None:
                 i += 1
 
 
+def write_pe_grads(path: str, grads, n_reads: int,
+                   max_read_len: int) -> None:
+    """.peGrads (reference prlHashReads.c:635-644, parsed by
+    loadPEgrads attachPEinfo.c:63): insert-size grads with cumulative
+    read-count boundaries.  grads: [(insertS, pe_bound, rank,
+    pair_num_cut)]."""
+    with open(path, "w") as fh:
+        fh.write(f"grads&num: {len(grads)}\t{n_reads}\t{max_read_len}\n")
+        for ins, bound, rank, cut in grads:
+            fh.write(f"{ins}\t{bound}\t{rank}\t{cut}\n")
+
+
+def write_ctg2read(path: str, groups) -> None:
+    """.ctg2Read (reference recordAlldgn, prlRead2Ctg.c:570-574): one
+    line per qualifying (read, contig) alignment group —
+    'readno contig readOffset-contigOffset orien' — the
+    transcript stage's single-read linking input
+    (singleRead2connection, transcriptome.c:256)."""
+    with open(path, "w") as fh:
+        for readno, ctg, delta, orien in groups:
+            fh.write(f"{readno}\t{ctg}\t{delta}\t{orien}\n")
+
+
+def write_read_in_gap(path: str, rows) -> None:
+    """.readInGap equivalent (reference getReadIngap,
+    prlRead2Ctg.c:447, binary): reads whose projected mate falls past
+    a contig end — 'readno contig pos' text form (this pipeline
+    recruits gap reads from placements directly; the file is the
+    inspectable artifact)."""
+    with open(path, "w") as fh:
+        for readno, ctg, pos in rows:
+            fh.write(f"{readno}\t{ctg}\t{pos}\n")
+
+
+def write_pe_read_on_contig(path: str, rows) -> None:
+    """.PEreadOnContig.gz (reference getPEreadOnContig, -f flag):
+    pairs with both ends mapped — 'readno ctg1 pos1 ctg2 pos2'."""
+    with gzip.open(path, "wt") as fh:
+        for readno, c1, p1, c2, p2 in rows:
+            fh.write(f"{readno}\t{c1}\t{p1}\t{c2}\t{p2}\n")
+
+
+def write_short_read_in_gap(path: str, reads) -> None:
+    """.shortreadInGap.gz (reference output1read, -f flag): the
+    sequences of gap-related reads for external gap fillers (SRkgf)."""
+    from ..ops import bits as _bits
+
+    with gzip.open(path, "wt") as fh:
+        for readno, codes in reads:
+            fh.write(f">read_{readno}\n{_bits.decode_seq(codes)}\n")
+
+
+def write_links(path: str, conn) -> None:
+    """.links (reference PE2Links, orderContig.c:3989): one line per
+    directed contig connection — 'from to gap weight se_count'."""
+    n = int(conn.n)
+    f = np.asarray(conn.from_ctg[:n])
+    t = np.asarray(conn.to_ctg[:n])
+    g = np.asarray(conn.gap[:n])
+    w = np.asarray(conn.weight[:n])
+    se = np.asarray(conn.se_count[:n])
+    with open(path, "w") as fh:
+        for i in range(n):
+            fh.write(f"{f[i]}\t{t[i]}\t{g[i]}\t{w[i]}\t{se[i]}\n")
+
+
+def read_scaf_gap(path: str, ctg_len_full):
+    """Rebuild the transcript list from a .scaf_gap file (-S resume,
+    reference prlReadFillGap.c:1227 reparses .scaf_gap the same way).
+    Returns a list of stages.scaff.Transcript."""
+    from ..stages.scaff import Transcript
+
+    transcripts = []
+    contigs: List[int] = []
+    positions: List[int] = []
+    meta = None
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line[0] == ">":
+                if meta is not None:
+                    transcripts.append(_mk_transcript(
+                        meta, contigs, positions, ctg_len_full,
+                        Transcript))
+                parts = line[1:].split()
+                locus_tag = parts[3]  # Locus_<id>_<n>
+                _, lid, lidx = locus_tag.split("_")
+                meta = (int(lid), int(lidx), parts[4])
+                contigs, positions = [], []
+            else:
+                c, pos = line.split()[:2]
+                contigs.append(int(c))
+                positions.append(int(pos))
+    if meta is not None:
+        transcripts.append(_mk_transcript(
+            meta, contigs, positions, ctg_len_full, Transcript))
+    return transcripts
+
+
+def _mk_transcript(meta, contigs, positions, ctg_len_full, cls):
+    gaps = [positions[i + 1] - (positions[i] + int(ctg_len_full[c]))
+            for i, c in enumerate(contigs[:-1])]
+    return cls(meta[0], meta[1], meta[2], contigs, gaps)
+
+
+def write_gap_seq(path: str, gap_report) -> None:
+    """.gapSeq (reference outputSeqs/searchFgap, prlReadFillGap.c:1174,
+    localAsm.c:739): one record per closed gap —
+    '>scaffoldN_J method' + the sequence placed in the gap (empty for
+    pure overlap merges)."""
+    with open(path, "w") as fh:
+        for scaf_idx, junc_idx, method, seq in gap_report:
+            fh.write(f">scaffold{scaf_idx}_{junc_idx} {method}\n")
+            if seq:
+                fh.write(seq + "\n")
+
+
 def write_scaf_files(prefix: str, transcripts, recs, ctg_len_full,
                      twin) -> None:
     """.scaf / .scaf_gap / .contigPosInscaff / .agp

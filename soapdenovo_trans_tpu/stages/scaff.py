@@ -41,6 +41,15 @@ class ScaffParams:
     max_step: int = 5           # all-paths enumeration bound (contigs)
     max_routes: int = 10        # path count cap per locus
     ins_size_var: int = 20      # gap tolerance (Links2Scaf :4251-4275)
+    gap_len_diff: int = 50      # -G GLDiff: allowed gap-size error for
+    #                             gap filling (reference global.h:107)
+    fill_gaps: bool = False     # -F: local assembly of gap sequence
+    gap_read_window: int = 300  # placement window near a junction for
+    #                             gap-read recruitment (readInGap)
+    max_reads_per_gap: int = 128  # pairs recruited per junction; the
+    #                               deep-gap coverage comes from
+    #                               unmapped mates of distal pairs, so
+    #                               the cap must span a full insert
 
 
 @dataclasses.dataclass
@@ -360,41 +369,217 @@ def transcript_sequences(transcripts: List[Transcript], seqs: List[str],
     return recs
 
 
+def collect_gap_reads(junctions, read_ctg, read_pos, batch_factory,
+                      twin, full_len, window: int, cap: int,
+                      read_ins=None) -> List[List[np.ndarray]]:
+    """Recruit reads near each junction for local gap assembly.
+
+    The reference prepares `.readInGap` during map (getReadIngap,
+    prlRead2Ctg.c:447): a read whose *projected mate* falls past a
+    contig end is dropped into that gap.  Placements here are already
+    orientation-resolved onto directed contig rows, so for an FR pair
+    the mate of a read at pos p on row c spans [p+ins-rl, p+ins) in
+    row-c coordinates — if that window crosses the row's end, the mate
+    lies in the junction gap.  Two recruitment tiers per junction:
+
+    * mate-projection: reads on a 'tail' side whose projected mate
+      overlaps the gap (these recover the gap's interior — the mates
+      themselves are usually unmappable);
+    * self-proximity: reads placed closest to the junction (these
+      anchor the walk at the flanks).
+
+    Selected global read indices (plus their PE mates — pairs are
+    adjacent in the stream) are collected, then one re-stream picks up
+    the read codes.
+    """
+    read_ctg = np.asarray(read_ctg)
+    read_pos = np.asarray(read_pos)
+    ins = None if read_ins is None else np.asarray(read_ins)
+    slot_rows: List[set] = [set() for _ in junctions]
+    for s, (c1, c2, gap) in enumerate(junctions):
+        sides = ((c1, "tail"), (int(twin[c1]), "head"),
+                 (c2, "head"), (int(twin[c2]), "tail"))
+        near: List[Tuple[int, int]] = []   # (dist to junction, row)
+        mates: List[Tuple[int, int]] = []  # (projection rank, row)
+        for c, side in sides:
+            ln = int(full_len[c])
+            m = read_ctg == c
+            if side == "tail":
+                m &= read_pos >= ln - window
+            else:
+                m &= read_pos <= window
+            rows = np.nonzero(m)[0]
+            dist = (ln - read_pos[rows]) if side == "tail" \
+                else read_pos[rows]
+            near.extend(zip(dist.tolist(), rows.tolist()))
+            if side == "tail" and ins is not None:
+                mate_end = read_pos[rows] + ins[rows]
+                in_gap = (ins[rows] > 0) & (mate_end > ln) & \
+                    (mate_end <= ln + max(gap, 0) + window)
+                # spread across the gap: rank by projected depth
+                depth = mate_end[in_gap] - ln
+                mates.extend(zip(depth.tolist(),
+                                 rows[in_gap].tolist()))
+        near.sort()
+        mates.sort()
+        take = cap // 2
+        for _d, i in mates[:take] + near[:take]:
+            slot_rows[s].add(i)
+            slot_rows[s].add(i ^ 1)  # the PE mate is stream-adjacent
+    wanted: Dict[int, List[int]] = defaultdict(list)
+    for s, rows in enumerate(slot_rows):
+        for i in rows:
+            wanted[i].append(s)
+    gap_reads: List[List[np.ndarray]] = [[] for _ in junctions]
+    if not wanted:
+        return gap_reads
+    base = 0
+    for codes, lens, _li in batch_factory():
+        b = codes.shape[0]
+        for local in range(b):
+            slots = wanted.get(base + local)
+            if slots and lens[local] > 0:
+                row = np.asarray(codes[local, : lens[local]], np.uint8)
+                for s in slots:
+                    gap_reads[s].append(row)
+        base += b
+    return gap_reads
+
+
 def run_scaff(contigs, conn, k: int, table,
-              params: Optional[ScaffParams] = None, ctg_arcs=None):
-    """Full scaffold stage: returns (records, transcripts, stats).
+              params: Optional[ScaffParams] = None, ctg_arcs=None,
+              gap_read_source=None, preset_transcripts=None):
+    """Full scaffold stage: returns (records, transcripts, stats,
+    gap_report).
 
     records: list of (header, sequence) for .scafSeq — transcripts
     first, then leftover contigs >= 100bp as '>C<row>' singletons
-    (reference prlReadFillGap.c:1453-1461)."""
-    from ..graph import contig_merge
+    (reference prlReadFillGap.c:1453-1461).
+
+    gap_read_source: optional (read_ctg, read_pos, batch_factory) for
+    -F local gap assembly (params.fill_gaps); batch_factory re-streams
+    the mapping read stream in the same order the placements were
+    recorded.
+
+    gap_report: list of (scaffold_index, junction_index, method,
+    sequence) for filled gaps — the .gapSeq payload.
+
+    preset_transcripts: skip structure building and reuse an existing
+    transcript list (-S "scaffold structure exists", scaffold.c:47 —
+    resume from .scaf_gap straight into gap closing).
+    """
+    from ..graph import contig_merge, gapfill
 
     params = params or ScaffParams()
     n_ctg = int(contigs.n)
     twin = np.asarray(contigs.twin)
     full_len = np.asarray(contigs.length) + k
-    unique = np.zeros(contigs.length.shape[0], bool)
-    unique[:n_ctg] = full_len[:n_ctg] >= params.min_unique_len
 
-    g = ConnGraph(conn, twin, full_len, unique)
-    delete_weak(g, params.weak_cnt)
-    loci = get_loci(g, n_ctg)
-    for locus in loci:
-        linearize(g, locus, params)
-        delete_inconsistent(g, locus)
-        avoid_loops(g, locus)
-        linearize(g, locus, params)
-    transcripts = build_transcripts(
-        g, loci, np.asarray(contigs.cvg), params)
+    if preset_transcripts is not None:
+        transcripts = preset_transcripts
+    else:
+        unique = np.zeros(contigs.length.shape[0], bool)
+        unique[:n_ctg] = full_len[:n_ctg] >= params.min_unique_len
+        g = ConnGraph(conn, twin, full_len, unique)
+        delete_weak(g, params.weak_cnt)
+        loci = get_loci(g, n_ctg)
+        for locus in loci:
+            linearize(g, locus, params)
+            delete_inconsistent(g, locus)
+            avoid_loops(g, locus)
+            linearize(g, locus, params)
+        transcripts = build_transcripts(
+            g, loci, np.asarray(contigs.cvg), params)
 
     seqs = contig_merge.contig_sequences(contigs, table, k)
     used = np.zeros(contigs.length.shape[0], bool)
-    if ctg_arcs is not None:
-        router = ArcRouter(ctg_arcs, full_len, k)
-        recs = transcript_sequences_filled(
-            transcripts, seqs, router, k, params.ins_size_var, used)
-    else:
-        recs = transcript_sequences(transcripts, seqs, used)
+    router = ArcRouter(ctg_arcs, full_len, k) if ctg_arcs is not None \
+        else None
+
+    # --- plan junctions: (transcript idx, junction idx, c1, c2, gap)
+    juncs: List[Tuple[int, int, int, int, int]] = []
+    for ti, tr in enumerate(transcripts):
+        for ji in range(len(tr.contigs) - 1):
+            juncs.append((ti, ji, tr.contigs[ji], tr.contigs[ji + 1],
+                          tr.gaps[ji]))
+
+    # strategy 1: unique arc route through the contig graph
+    routes: Dict[int, List[int]] = {}
+    if router is not None:
+        for jid, (_, _, c1, c2, gap) in enumerate(juncs):
+            r = router.find_route(c1, c2, gap, params.ins_size_var)
+            if r is not None:
+                routes[jid] = r
+
+    # strategies 2+3: overlap merge / read-local assembly (-F)
+    fill: Dict[int, Tuple[str, str, int]] = {}  # jid -> (kind, seq, ov)
+    pending = [jid for jid in range(len(juncs)) if jid not in routes]
+    if pending and params.fill_gaps:
+        jspecs = [(seqs[juncs[jid][2]], seqs[juncs[jid][3]],
+                   int(juncs[jid][4])) for jid in pending]
+        if gap_read_source is not None:
+            read_ctg, read_pos, batch_factory = gap_read_source[:3]
+            read_ins = gap_read_source[3] \
+                if len(gap_read_source) > 3 else None
+            greads = collect_gap_reads(
+                [(j[2], j[3], j[4]) for j in
+                 (juncs[jid] for jid in pending)],
+                read_ctg, read_pos, batch_factory, twin, full_len,
+                params.gap_read_window, params.max_reads_per_gap,
+                read_ins=read_ins)
+        else:
+            greads = [[] for _ in pending]
+        res = gapfill.fill_gaps(jspecs, greads, k,
+                                tol=params.gap_len_diff)
+        for slot, jid in enumerate(pending):
+            if res.filled[slot]:
+                ov = int(res.overlap[slot])
+                if ov > 0:
+                    fill[jid] = ("overlap", "", ov)
+                else:
+                    fill[jid] = ("localasm", res.fill_seq[slot], 0)
+
+    # --- splice sequences ---
+    recs: List[Tuple[str, str]] = []
+    gap_report: List[Tuple[int, int, str, str]] = []
+    n_routed = n_filled = 0
+    jid = 0
+    for idx, tr in enumerate(transcripts, start=1):
+        parts = [seqs[tr.contigs[0]]]
+        used[tr.contigs[0]] = True
+        for ji, c2 in enumerate(tr.contigs[1:]):
+            gap = tr.gaps[ji]
+            if jid in routes:
+                for x in routes[jid]:
+                    parts.append(seqs[x][k:])
+                parts.append(seqs[c2][k:])
+                n_routed += 1
+                gap_report.append((idx, ji, "route",
+                                   "".join(seqs[x][k:]
+                                           for x in routes[jid])))
+            elif jid in fill:
+                kind, fseq, ov = fill[jid]
+                if kind == "overlap":
+                    parts.append(seqs[c2][ov:])
+                else:
+                    parts.append(fseq)
+                    parts.append(seqs[c2])
+                n_filled += 1
+                gap_report.append((idx, ji, kind, fseq))
+            else:
+                if gap > 0:
+                    parts.append("N" * gap)
+                parts.append(seqs[c2])
+            used[c2] = True
+            jid += 1
+        seq = "".join(parts)
+        header = (f"scaffold{idx} {len(tr.contigs)} {len(seq)} "
+                  f"Locus_{tr.locus}_{tr.index} {tr.kind}")
+        recs.append((header, seq))
+    if n_routed or n_filled:
+        print(f"[scaff] gaps closed: {n_routed} arc routes, "
+              f"{n_filled} overlap/local-asm of {len(juncs)}")
+
     # leftover singletons (one per twin pair)
     for c in range(n_ctg):
         if used[c] or used[int(twin[c])] or full_len[c] < 100:
@@ -403,7 +588,7 @@ def run_scaff(contigs, conn, k: int, table,
             continue
         recs.append((f"C{c}", seqs[c]))
         used[c] = used[int(twin[c])] = True
-    return recs, transcripts, scaf_stats(recs)
+    return recs, transcripts, scaf_stats(recs), gap_report
 
 
 def scaf_stats(recs: List[Tuple[str, str]]) -> Dict[str, float]:
@@ -479,43 +664,6 @@ class ArcRouter:
         if len(routes) == 1:
             return routes[0]
         return None
-
-
-def transcript_sequences_filled(transcripts: List[Transcript],
-                                seqs: List[str], router: ArcRouter,
-                                k: int, tol: int,
-                                used_flags: Optional[np.ndarray] = None
-                                ) -> List[Tuple[str, str]]:
-    """Like transcript_sequences, but each junction first tries the
-    unique arc route; only unresolved gaps fall back to Ns."""
-    recs = []
-    filled = 0
-    for idx, tr in enumerate(transcripts, start=1):
-        parts = [seqs[tr.contigs[0]]]
-        if used_flags is not None:
-            used_flags[tr.contigs[0]] = True
-        for i, c2 in enumerate(tr.contigs[1:]):
-            c1 = tr.contigs[i]
-            gap = tr.gaps[i]
-            route = router.find_route(c1, c2, gap, tol)
-            if route is not None:
-                for x in route:
-                    parts.append(seqs[x][k:])
-                parts.append(seqs[c2][k:])
-                filled += 1
-            else:
-                if gap > 0:
-                    parts.append("N" * gap)
-                parts.append(seqs[c2])
-            if used_flags is not None:
-                used_flags[c2] = True
-        seq = "".join(parts)
-        header = (f"scaffold{idx} {len(tr.contigs)} {len(seq)} "
-                  f"Locus_{tr.locus}_{tr.index} {tr.kind}")
-        recs.append((header, seq))
-    if filled:
-        print(f"[scaff] {filled} gaps closed via arc routes")
-    return recs
 
 
 def record_membership(recs: List[Tuple[str, str]],

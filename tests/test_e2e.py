@@ -208,3 +208,53 @@ def test_rpkm_output(rng, tmp_path):
     assert len(withhits) >= 2
     assert os.path.exists(out + ".readOnScaf")
     assert sum(1 for _ in open(out + ".readOnScaf")) > 0
+
+
+def test_gap_fill_and_stage_files(rng, tmp_path):
+    """-F local gap assembly through the CLI: a coverage hole in the
+    contig-building library is reconstructed exactly from the
+    mapping-only PE library (reference localAsm/prlReadFillGap).
+    Also exercises -f gap-read export, .peGrads/.ctg2Read/.links
+    stage files, and -S structure resume."""
+    t1 = "".join(rng.choice(list("ACGT"), size=700))
+    hole = (330, 370)
+    ins, rl = 200, 50
+    cov = [t1[i : i + rl] for i in range(0, len(t1) - rl + 1, 2)
+           if i + rl <= hole[0] or i >= hole[1]]
+    pe = []
+    for i in range(0, len(t1) - ins, 4):
+        frag = t1[i : i + ins]
+        pe.append(frag[:rl])
+        pe.append(bits.revcomp_str(frag[-rl:]))
+    c_fa = os.path.join(str(tmp_path), "cov.fa")
+    p_fa = os.path.join(str(tmp_path), "pe.fa")
+    fastx.write_fasta(c_fa, [(f"c{i}", r) for i, r in enumerate(cov)])
+    fastx.write_fasta(p_fa, [(f"p{i}", r) for i, r in enumerate(pe)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write("max_rd_len=50\n"
+                 f"[LIB]\navg_ins=0\nasm_flags=1\nf={c_fa}\n"
+                 f"[LIB]\navg_ins=200\nasm_flags=2\np={p_fa}\n")
+    out = os.path.join(str(tmp_path), "asm")
+    cli.main(["all", "-s", cfg, "-o", out, "-K", "23", "-F", "-f",
+              "-L", "100"])
+    # the scaffold must reconstruct t1 (no Ns) across the hole
+    scafs = read_contig_fasta(out + ".scafSeq")
+    core = t1[5:-5]
+    assert any(core in s or core in bits.revcomp_str(s)
+               for s in scafs), [len(s) for s in scafs]
+    # filled gap recorded
+    gap_lines = open(out + ".gapSeq").read()
+    assert "localasm" in gap_lines or "overlap" in gap_lines
+    # stage-file surface
+    assert open(out + ".peGrads").readline().startswith("grads&num:")
+    assert os.path.getsize(out + ".ctg2Read") > 0
+    assert os.path.exists(out + ".links")
+    assert os.path.exists(out + ".readInGap")
+    assert os.path.exists(out + ".shortreadInGap.gz")
+    assert os.path.exists(out + ".PEreadOnContig.gz")
+    # -S resume: rebuild sequences from the existing .scaf_gap
+    scaf_before = open(out + ".scafSeq").read()
+    cli.main(["scaff", "-g", out, "-s", cfg, "-F", "-L", "100", "-S"])
+    scaf_after = open(out + ".scafSeq").read()
+    assert scaf_after == scaf_before

@@ -102,7 +102,7 @@ def test_pe_scaffolding(rng):
     conn = connections.aggregate(f, t_, g, is_se, v)
     assert int(conn.n) > 0
 
-    recs, transcripts, stats = scaff.run_scaff(
+    recs, transcripts, stats, _gaps = scaff.run_scaff(
         ctg, conn, K, table,
         scaff.ScaffParams(min_unique_len=100))
     # each transcript's unique arms must be joined in one scaffold
@@ -158,7 +158,7 @@ def test_se_links_join_contigs(rng):
         unique=jnp.asarray(unique))
     conn = connections.aggregate(f, t_, g, jnp.ones_like(v), v)
     assert int(conn.n) > 0
-    recs, transcripts, stats = scaff.run_scaff(ctg, conn, K, table)
+    recs, transcripts, stats, _gaps = scaff.run_scaff(ctg, conn, K, table)
     seqs = [s for h, s in recs if h.startswith("scaffold")]
     u1, u2, u3, u4, rep = parts
     joined = 0
