@@ -18,10 +18,10 @@ explicit ICI collective.  Prefix sharding keeps each shard's keys a
 contiguous sorted range, so a global lookup is: route query to
 owner (same all_to_all) + local bisection.
 
-Canonical keys skew low (min of value and revcomp), so prefix shards
-are imbalanced up to ~2x; bucket capacity defaults generous and an
-overflow counter reports drops (production tuning: quantile split
-points — tracked for a later round).
+Canonical keys skew low (min of value and revcomp); shard boundaries
+are the analytic inverse-CDF split points (see _owner_boundaries), so
+expected shard mass is equal.  Residual data skew is caught by an
+overflow counter; the stage driver retries with a larger bucket.
 """
 
 from __future__ import annotations
@@ -50,14 +50,25 @@ class ShardedTable(NamedTuple):
     dropped: jnp.ndarray  # (D,) int32 overflowed records (should be 0)
 
 
-def _owner_bits(k: int, n_shards: int):
-    """How to extract the owner shard from word 0 of a canonical key."""
+def _owner_boundaries(k: int, n_shards: int) -> np.ndarray:
+    """Equal-mass split points over word 0 of a canonical key.
+
+    A canonical k-mer is min(x, revcomp(x)); for uniform x its
+    normalized value p has density 2(1-p), CDF F(p) = 2p - p^2, so raw
+    top-bit prefix shards skew ~2x toward shard 0.  The inverse-CDF
+    boundaries p_i = 1 - sqrt(1 - i/d) balance the expected mass while
+    keeping the owner function monotone in the key — each shard still
+    owns a contiguous sorted key range (gather stays a concatenation).
+    """
+    import math
+
     w = bits.words_for_k(k)
     used = 2 * k - 32 * (w - 1)  # live bits in the top word
-    shard_bits = max(1, (n_shards - 1).bit_length())
-    assert used >= shard_bits, (
-        f"K={k} top word has {used} bits < {shard_bits} shard bits")
-    return used - shard_bits
+    top = float(1 << used)
+    return np.asarray(
+        [min(int((1.0 - math.sqrt(1.0 - i / n_shards)) * top),
+             (1 << used) - 1)
+         for i in range(1, n_shards)], dtype=np.uint32)
 
 
 def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
@@ -68,14 +79,15 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
     unique rows per shard.
     """
     w = bits.words_for_k(k)
-    shift = _owner_bits(k, n_shards)
+    bounds = _owner_boundaries(k, n_shards)
 
     def step(seqs, lengths):
         stream = kmer.chop_reads(seqs, lengths, k)
         n = stream.kmers.shape[0]
-        me = jax.lax.axis_index(AXIS)
-        owner = (stream.kmers[:, 0] >> shift).astype(jnp.int32)
-        owner = jnp.where(stream.valid, jnp.minimum(owner, n_shards - 1),
+        owner = jnp.sum(
+            stream.kmers[:, 0:1] >= jnp.asarray(bounds)[None, :],
+            axis=1).astype(jnp.int32)
+        owner = jnp.where(stream.valid, owner,
                           n_shards)  # invalid -> drop bucket
 
         # stable-sort records by owner, then slot into fixed buckets

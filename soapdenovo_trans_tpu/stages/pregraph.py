@@ -77,16 +77,25 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
             r += pad
         key = (r, l)
         if key not in runners:
-            runners[key] = sharded_count.make_sharded_counter(
-                mesh, k, r // d, l)
-        st = runners[key](
-            jax.device_put(jnp.asarray(codes), sh2),
-            jax.device_put(jnp.asarray(lengths), sh1))
-        dropped = int(jnp.sum(st.dropped))
-        if dropped:
-            raise RuntimeError(
-                f"sharded counter dropped {dropped} kmers — raise "
-                f"bucket_cap (shard imbalance)")
+            cap0 = None  # make_sharded_counter's balanced default
+            runners[key] = (sharded_count.make_sharded_counter(
+                mesh, k, r // d, l, bucket_cap=cap0), cap0)
+        # The step is pure, so on bucket overflow (data skew beyond the
+        # balanced split points) just recompile with 2x capacity and
+        # re-run the same batch — correctness never depends on the cap.
+        while True:
+            run, cap = runners[key]
+            st = run(jax.device_put(jnp.asarray(codes), sh2),
+                     jax.device_put(jnp.asarray(lengths), sh1))
+            dropped = int(jnp.sum(st.dropped))
+            if not dropped:
+                break
+            windows = l - k + 1
+            cap = 2 * (cap or max(128, (2 * (r // d) * windows) // d))
+            print(f"[pregraph] shard bucket overflow ({dropped} dropped) "
+                  f"— retrying with bucket_cap={cap}")
+            runners[key] = (sharded_count.make_sharded_counter(
+                mesh, k, r // d, l, bucket_cap=cap), cap)
         t = sharded_count.gather_to_table(st)
         table = t if table is None else dictionary.merge(table, t)
     if table is None:
