@@ -42,6 +42,15 @@ def build_parser():
                     help="delete kmers with frequency <= this")
     pg.add_argument("-i", dest="minor_pct", type=int, default=5,
                     help="minor-neighbor removal %% (dd)")
+    pg.add_argument("-a", dest="init_mem", type=int, default=0,
+                    help="initial memory assumption in GB (reference "
+                         "initKmerSetSize, pregraph.c:160; accepted "
+                         "for compatibility — table capacity here is "
+                         "sized from the data)")
+    pg.add_argument("-n", dest="n_kmer", action="store_true",
+                    help="count N-containing kmer windows under one "
+                         "sentinel entry (reference N_kmer/InvalidKmer, "
+                         "prlHashReads.c:207)")
 
     cg = sub.add_parser("contig", help="edge graph -> contigs")
     cg.add_argument("-g", dest="out", required=True)
@@ -52,6 +61,9 @@ def build_parser():
     cg.add_argument("-q", dest="light_out", type=int, default=5)
     cg.add_argument("-Q", dest="light_flow", type=int, default=2)
     cg.add_argument("-H", dest="high_arc", type=int, default=200)
+    cg.add_argument("-S", dest="short_cutoff", type=int, default=48,
+                    help="remove short-contig components below this "
+                         "length (reference cut_length, contig.c:333)")
 
     mp = sub.add_parser("map", help="reads -> contig placements")
     _add_common(mp)
@@ -78,6 +90,18 @@ def build_parser():
                     help="write .readOnScaf")
     sc.add_argument("-R", dest="rpkm", action="store_true",
                     help="write .readOnScaf and .RPKM.Stat")
+    sc.add_argument("-N", dest="genome_size", type=int, default=0,
+                    help="known genome/transcriptome size for NG50 in "
+                         ".scafStatistics (reference scaffold.c:124)")
+    sc.add_argument("-u", dest="no_mask_rep", action="store_true",
+                    help="accepted for compatibility: the reference "
+                         "sets maskRep=0 (scaffold.c:134) but maskRepeat "
+                         "lives in the bypassed genome scaffolder, so "
+                         "-u has no effect on the Trans flow")
+    sc.add_argument("-c", dest="max_cnt", type=int, default=0,
+                    help="keep at most this many outgoing links per "
+                         "non-unique contig (deleteUnlikelyCnt, "
+                         "transcriptome.c:2202; 0 or >10 = off)")
 
     al = sub.add_parser("all", help="full pipeline")
     _add_common(al)
@@ -97,6 +121,20 @@ def build_parser():
     al.add_argument("-t", dest="max_transcripts", type=int, default=5)
     al.add_argument("-r", dest="read_trace", action="store_true")
     al.add_argument("-R", dest="rpkm", action="store_true")
+    al.add_argument("-a", dest="init_mem", type=int, default=0,
+                    help="memory assumption hint (compat; see pregraph -a)")
+    al.add_argument("-n", dest="n_kmer", action="store_true")
+    al.add_argument("-c", dest="max_cnt", type=int, default=0)
+    al.add_argument("-u", dest="no_mask_rep", action="store_true")
+    al.add_argument("-D", dest="low_edge_cov", type=int, default=0,
+                    help="accepted for compatibility: the reference "
+                         "parses -D (main.c:181) but never forwards it "
+                         "to any stage (main.c:313-323 commented out)")
+    al.add_argument("-k", dest="kmer_small", type=int, default=0,
+                    help="accepted for compatibility: the reference "
+                         "forwards -k to the map stage (main.c:357) "
+                         "whose getopt string has no 'k' (map.c:115), "
+                         "so it is ignored there too")
     return ap
 
 
@@ -105,10 +143,12 @@ class _CountingFactory:
     first pass (for the .peGrads boundaries, reference
     prlHashReads.c:626-645)."""
 
-    def __init__(self, cfg, batch_size=4096):
+    def __init__(self, cfg, batch_size=4096, n_kmer_k=0):
         self.cfg = cfg
         self.batch_size = batch_size
         self.lib_counts = None
+        self.n_kmer_k = n_kmer_k  # if >0, tally N-containing windows
+        self.n_windows = 0
 
     def __call__(self):
         from .io import fastx
@@ -123,6 +163,9 @@ class _CountingFactory:
                 if count:
                     self.lib_counts[li] = self.lib_counts.get(li, 0) + \
                         int((lens > 0).sum())
+                    if self.n_kmer_k:
+                        self.n_windows += _count_n_windows(
+                            codes, lens, self.n_kmer_k)
                 yield codes, lens, li
 
         return gen()
@@ -144,8 +187,23 @@ class _CountingFactory:
         return grads, bound
 
 
-def _read_batches(cfg, batch_size=4096):
-    return _CountingFactory(cfg, batch_size)
+def _count_n_windows(codes, lens, k):
+    """In-range k-mer windows containing an N (code >= 4) — the
+    windows the reference's -n mode feeds to the hash as InvalidKmer
+    (kmerZero sentinel, prlHashReads.c:175-213)."""
+    r, l = codes.shape
+    p = l - k + 1
+    if p <= 0:
+        return 0
+    cs = np.zeros((r, l + 1), np.int32)
+    np.cumsum(codes >= 4, axis=1, out=cs[:, 1:])
+    has_n = (cs[:, k:] - cs[:, :p]) > 0
+    in_range = (np.arange(p)[None, :] + k) <= lens[:, None]
+    return int((has_n & in_range).sum())
+
+
+def _read_batches(cfg, batch_size=4096, n_kmer_k=0):
+    return _CountingFactory(cfg, batch_size, n_kmer_k=n_kmer_k)
 
 
 def run_pregraph_cmd(args):
@@ -165,11 +223,22 @@ def run_pregraph_cmd(args):
         mesh = Mesh(np.array(jax.devices()), (sharded_count.AXIS,))
         print(f"[pregraph] sharding kmer space over "
               f"{len(jax.devices())} devices")
-    factory = _read_batches(cfg)
+    n_kmer = getattr(args, "n_kmer", False)
+    factory = _read_batches(cfg, n_kmer_k=args.k if n_kmer else 0)
     res = pg_stage.run_pregraph(
         factory, args.k,
         low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh)
     hist = pg_stage.kmer_freq_histogram(res.table)
+    if n_kmer and factory.n_windows:
+        # -n: the reference hashes every N-containing window as one
+        # InvalidKmer node (prlHashReads.c:207-213); it surfaces in the
+        # frequency histogram as a single key with that many hits.  The
+        # sentinel never joins the graph here — N windows already break
+        # read paths (ops/kmer.py masks them), which is the sentinel's
+        # only structural role in the reference.
+        hist[min(factory.n_windows, len(hist) - 1)] += 1
+        print(f"[pregraph] -n: {factory.n_windows} N-containing "
+              f"windows counted as sentinel kmer")
     stagefiles.write_kmer_freq(args.out + ".kmerFreq", hist)
     grads, n_reads = factory.pe_grads()
     if grads:
@@ -227,7 +296,8 @@ def run_contig_cmd(args, res=None):
         merge_level=getattr(args, "merge_level", 1),
         light_out_pct=getattr(args, "light_out", 5),
         light_flow_pct=getattr(args, "light_flow", 2),
-        high_arc_multi=getattr(args, "high_arc", 200))
+        high_arc_multi=getattr(args, "high_arc", 200),
+        short_component=getattr(args, "short_cutoff", 48))
     ctg = contig_stage.run_contig(edges, aset, k, params, table=table)
     perm = stagefiles.write_contig_fasta(
         args.out + ".contig", ctg, table, k, arcs=ctg.arcs)
@@ -412,7 +482,8 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         min_unique_len=getattr(args, "min_contig", 100),
         max_transcripts=getattr(args, "max_transcripts", 5),
         gap_len_diff=getattr(args, "gap_len_diff", 50),
-        fill_gaps=getattr(args, "fill_gaps", False))
+        fill_gaps=getattr(args, "fill_gaps", False),
+        max_cnt=getattr(args, "max_cnt", 0))
     gap_read_source = None
     if params.fill_gaps and getattr(args, "config", None) and \
             link_extra.get("read_ctg") is not None:
@@ -439,9 +510,8 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     stagefiles.write_scaf_files(
         args.out, transcripts, recs,
         np.asarray(ctg.length) + k, np.asarray(ctg.twin))
-    with open(args.out + ".scafStatistics", "w") as fh:
-        for key, val in stats.items():
-            fh.write(f"{key}\t{val}\n")
+    stagefiles.write_scaf_statistics(
+        args.out, known_genome_size=getattr(args, "genome_size", 0))
     n_scaf = sum(1 for h, _ in recs if h.startswith("scaffold"))
     if getattr(args, "read_trace", False) or getattr(args, "rpkm", False):
         read_ctg = link_extra.get("read_ctg")

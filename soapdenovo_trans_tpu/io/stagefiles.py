@@ -272,3 +272,152 @@ def write_scaf_files(prefix: str, transcripts, recs, ctg_len_full,
                 pos += tr.gaps[i]
     for fh in (scaf, scaf_gap, cpis, agp):
         fh.close()
+
+
+def _stat_section(fo, title, recs, len_cut=100, known_genome_size=0,
+                  scaffold_word="scaffolds", count_key="Scaffold_Num",
+                  singletons=False, n_break=False):
+    """One section of the .scafStatistics report (ScafStat,
+    reference src/orderContig.c:2421-3090): composition, size ladder,
+    N10..N90 with counts, NG50.  recs: [(header, seq)]; records
+    shorter than len_cut are excluded entirely (:2503-2519)."""
+    fo.write(title + "\n\n")
+    kept = [(h, s) for h, s in recs if len(s) >= len_cut]
+    if not kept:
+        fo.write("Size_includeN\t0\n\n")
+        return
+    comp = {c: 0 for c in "ACGTN"}
+    non_acgtn = 0
+    sizes = []
+    n_singleton = 0
+    for h, s in kept:
+        sizes.append(len(s))
+        if h.startswith("C"):
+            n_singleton += 1
+        up = s.upper()
+        for c in "ACGTN":
+            comp[c] += up.count(c)
+        non_acgtn += len(s) - sum(up.count(c) for c in "ACGTN")
+    sizes.sort()  # ascending, like the reference qsort (:2620)
+    n = len(sizes)
+    total = sum(sizes)
+    fo.write(f"Size_includeN\t{total}\n")
+    fo.write(f"Size_withoutN\t{total - comp['N']}\n")
+    fo.write(f"{count_key}\t{n}\n")
+    fo.write(f"Mean_Size\t{total // n}\n")
+    fo.write(f"Median_Size\t{sizes[(n + 1) // 2 - 1]}\n")
+    fo.write(f"Longest_Seq\t{sizes[-1]}\n")
+    fo.write(f"Shortest_Seq\t{sizes[0]}\n")
+    if singletons:
+        fo.write(f"Singleton_Num\t{n_singleton}\n")
+        fo.write("Average_length_of_break(N)_in_scaffold\t"
+                 f"{comp['N'] // n}\n")
+        fo.write("\n")
+        if known_genome_size:
+            fo.write(f"Known_genome_size\t{known_genome_size}\n")
+            fo.write("Total_scaffold_length_as_percentage_of_known_"
+                     f"genome_size\t{100.0 * total / known_genome_size:.2f}%\n")
+        else:
+            fo.write("Known_genome_size\tNaN\n")
+            fo.write("Total_scaffold_length_as_percentage_of_known_"
+                     "genome_size\tNaN\n")
+    fo.write("\n")
+    for label, cut in ((">100 ", 100), (">500 ", 500), (">1K  ", 1000),
+                       (">10K ", 10000), (">100K", 100000),
+                       (">1M  ", 1000000)):
+        cnt = sum(1 for x in sizes if x > cut)
+        fo.write(f"{scaffold_word}{label}\t{cnt}\t{100.0 * cnt / n:.2f}%\n")
+    fo.write("\n")
+    for c in "ACGT":
+        fo.write(f"Nucleotide_{c}\t{comp[c]}\t"
+                 f"{100.0 * comp[c] / total:.2f}%\n")
+    fo.write(f"GapContent_N\t{comp['N']}\t"
+             f"{100.0 * comp['N'] / total:.2f}%\n")
+    fo.write(f"Non_ACGTN\t{non_acgtn}\t{100.0 * non_acgtn / total:.2f}%\n")
+    acgt = sum(comp[c] for c in "ACGT")
+    gc = 100.0 * (comp['G'] + comp['C']) / acgt if acgt else 0.0
+    fo.write(f"GC_Content\t{gc:.2f}%\t\t(G+C)/(A+C+G+T)\n")
+    fo.write("\n")
+    # NXX ladder — exact emulation of the descending else-if chain
+    # (:2695-2725): a single record crossing several decade boundaries
+    # leaves the skipped decades unprinted, matching the reference.
+    flags = [False] * 10
+    n50 = 0
+    ng50 = num_ng50 = 0
+    flag_known = False
+    acc = 0
+    for i in range(n - 1, -1, -1):
+        acc += sizes[i]
+        rank = n - i
+        for d in range(1, 9):
+            lo, hi = total * d / 10.0, total * (d + 1) / 10.0
+            if lo <= acc < hi and not flags[d]:
+                fo.write(f"N{d}0\t{sizes[i]}\t{rank}\n")
+                flags[d] = True
+                if d == 5:
+                    n50 = sizes[i]
+                break
+        else:
+            if acc >= total * 0.9 and not flags[9]:
+                fo.write(f"N90\t{sizes[i]}\t{rank}\n")
+                flags[9] = True
+        if known_genome_size and not flag_known and \
+                acc >= known_genome_size * 0.5:
+            ng50, num_ng50 = sizes[i], rank
+            flag_known = True
+    if not flags[5]:  # fallback N50 recomputation (:2727-2740)
+        acc = 0
+        for i in range(n - 1, -1, -1):
+            acc += sizes[i]
+            if acc >= total * 0.5:
+                fo.write(f"N50\t{sizes[i]}\t{n - i}\n")
+                n50 = sizes[i]
+                break
+    fo.write("\n")
+    if known_genome_size:
+        fo.write(f"NG50\t{ng50}\t{num_ng50}\n")
+        fo.write("N50_scaffold-NG50_scaffold_length_difference\t"
+                 f"{abs(n50 - ng50)}\n")
+    else:
+        fo.write("NG50\tNaN\tNaN\n")
+        fo.write("N50_scaffold-NG50_scaffold_length_difference\tNaN\n")
+    fo.write("\n")
+
+
+def write_scaf_statistics(prefix: str, known_genome_size: int = 0,
+                          len_cut: int = 100) -> None:
+    """.scafStatistics — the two-section assembly report of ScafStat
+    (reference src/orderContig.c:2421, called ScafStat(100, ...) from
+    scaffold.c:68): scaffold stats from .scafSeq, contig stats from
+    .contig, each with composition/size-ladder/N10..N90/NG50."""
+    def _recs(path):
+        out, head, seq = [], None, []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if line[0] == ">":
+                    if head is not None:
+                        out.append((head, "".join(seq)))
+                    head, seq = line[1:], []
+                else:
+                    seq.append(line)
+        if head is not None:
+            out.append((head, "".join(seq)))
+        return out
+
+    scaf_recs = _recs(prefix + ".scafSeq")
+    ctg_recs = _recs(prefix + ".contig")
+    with open(prefix + ".scafStatistics", "w") as fo:
+        _stat_section(
+            fo, f"<-- Information for assembly Scaffold "
+                f"'{prefix}.scafSeq'.(cut_off_length < {len_cut}bp) -->",
+            scaf_recs, len_cut, known_genome_size,
+            scaffold_word="scaffolds", count_key="Scaffold_Num",
+            singletons=True)
+        _stat_section(
+            fo, f"<-- Information for assembly Contig "
+                f"'{prefix}.contig'.(cut_off_length < {len_cut}bp) -->",
+            ctg_recs, len_cut, known_genome_size,
+            scaffold_word="Contig", count_key="Contig_Num")

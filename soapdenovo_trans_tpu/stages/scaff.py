@@ -37,6 +37,7 @@ LINEAR, FORK, BUBBLE, COMPLEX = "LINEAR", "FORK", "BUBBLE", "COMPLEX"
 class ScaffParams:
     min_unique_len: int = 100   # -L ctg_mask
     weak_cnt: int = 3           # deleteWeakCnt cutoff
+    max_cnt: int = 0            # -c deleteUnlikelyCnt (0 or >10 = off)
     max_transcripts: int = 5    # -t max_num per COMPLEX locus
     max_step: int = 5           # all-paths enumeration bound (contigs)
     max_routes: int = 10        # path count cap per locus
@@ -103,6 +104,30 @@ def delete_weak(g: ConnGraph, cutoff: int):
         for t, rec in outs.items():
             if not rec["deleted"] and 0 < rec["weight"] < cutoff:
                 rec["deleted"] = True
+
+
+def delete_unlikely(g: ConnGraph, n_ctg: int, cut_off: int):
+    """deleteUnlikelyCnt (-c, transcriptome.c:2202-2228): for every
+    NON-unique contig with more than cut_off live links to unique
+    contigs, keep only the cut_off heaviest (removeUnnecessaryConnection
+    :2155 — we take the true k-th largest weight as the threshold; the
+    reference's hand-rolled top-10 insertion sort at :2166-2180 drops
+    displaced entries, so its threshold can come out lower — strictly
+    fewer deletions — on >3 distinct weights).  Off when 0 or >10."""
+    if cut_off == 0 or cut_off > 10:
+        return
+    for c in range(n_ctg):
+        if g.unique[c]:
+            continue
+        outs = [(t, r) for t, r in g.out.get(c, {}).items()
+                if not r["deleted"] and g.unique[t]]
+        if len(outs) <= cut_off:
+            continue
+        kth = sorted((r["weight"] for _, r in outs), reverse=True)[
+            cut_off - 1]
+        for t, r in outs:
+            if r["weight"] < kth:
+                g.delete(c, t)
 
 
 def get_loci(g: ConnGraph, n_ctg: int) -> List[List[int]]:
@@ -488,6 +513,11 @@ def run_scaff(contigs, conn, k: int, table,
             delete_inconsistent(g, locus)
             avoid_loops(g, locus)
             linearize(g, locus, params)
+        delete_unlikely(g, n_ctg, params.max_cnt)
+        # loci are recomputed after cleanup — components split by
+        # deleteInconsistent/avoidLoop/-c become separate loci
+        # (transcriptome.c:2256-2266).
+        loci = get_loci(g, n_ctg)
         transcripts = build_transcripts(
             g, loci, np.asarray(contigs.cvg), params)
 

@@ -169,3 +169,64 @@ def test_se_links_join_contigs(rng):
                 joined += 1
                 break
     assert joined == 2, [len(s) for s in seqs]
+
+
+def _mini_conn_graph():
+    """4 directed contigs (twin = self for simplicity): hub 0 is
+    non-unique with links to unique 1,2,3 of weights 9,5,2."""
+    twin = np.arange(8)
+    ctg_len = np.full(8, 200)
+    unique = np.array([False, True, True, True] + [True] * 4)
+
+    class C:
+        n = 3
+        from_ctg = np.array([0, 0, 0])
+        to_ctg = np.array([1, 2, 3])
+        gap = np.zeros(3, np.int32)
+        weight = np.array([9, 5, 2])
+        se_count = np.zeros(3, np.int32)
+
+    return scaff.ConnGraph(C(), twin, ctg_len, unique)
+
+
+def test_delete_unlikely_keeps_top_k():
+    """-c (deleteUnlikelyCnt, transcriptome.c:2202): non-unique contig
+    with more than cut_off unique links keeps the heaviest cut_off."""
+    g = _mini_conn_graph()
+    scaff.delete_unlikely(g, 4, 2)
+    live = sorted(t for t, r in g.out[0].items() if not r["deleted"])
+    assert live == [1, 2]
+
+
+def test_delete_unlikely_off_values():
+    for off in (0, 11):
+        g = _mini_conn_graph()
+        scaff.delete_unlikely(g, 4, off)
+        assert all(not r["deleted"] for r in g.out[0].values())
+
+
+def test_scaf_statistics_report(tmp_path):
+    """ScafStat report (orderContig.c:2421): <100bp records excluded,
+    singleton counting, composition, N50 ladder, NG50."""
+    from soapdenovo_trans_tpu.io import stagefiles
+
+    prefix = str(tmp_path / "x")
+    with open(prefix + ".scafSeq", "w") as fh:
+        fh.write(">scaffold1 2 300 Locus_0_0 LINEAR\n" + "A" * 150 +
+                 "N" * 10 + "G" * 140 + "\n")
+        fh.write(">C7\n" + "C" * 120 + "\n")
+        fh.write(">C9\n" + "T" * 50 + "\n")  # < 100bp: excluded
+    with open(prefix + ".contig", "w") as fh:
+        fh.write(">1 length 200 cvg_10.0_tip_0\n" + "ACGT" * 50 + "\n")
+    stagefiles.write_scaf_statistics(prefix, known_genome_size=400)
+    text = open(prefix + ".scafStatistics").read()
+    assert "Size_includeN\t420" in text
+    assert "Size_withoutN\t410" in text
+    assert "Scaffold_Num\t2" in text
+    assert "Singleton_Num\t1" in text
+    assert "Known_genome_size\t400" in text
+    assert "N50\t300\t1" in text
+    assert "NG50\t300\t1" in text
+    assert "Contig_Num\t1" in text
+    assert "GC_Content\t50.00%" in text.split("Contig_Num")[1] or \
+        "GC_Content\t50.00%" in text
