@@ -70,23 +70,40 @@ def round_up(x: int, m: int = 128) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _build_device(keys, prev, nxt, valid):
-    """Sort + segment-reduce one k-mer stream.  Returns full-capacity
-    (padded) arrays plus the number of unique entries.
-
-    Perf-critical trick: the 7-bit payload (valid:1, prev:3, next:3)
-    is folded into spare low bits of a widened key, so XLA's variadic
-    sort moves 2-3 uint32 operands instead of W keys + 3 payload
-    columns — the sort is the dominant cost of counting on TPU and
-    scales with total bytes moved."""
-    n, w = keys.shape
-    wp = (32 * w + 7 + 31) // 32  # lanes for key<<7 | payload
+def pack_stream(keys, prev, nxt, valid):
+    """Fold the 7-bit per-kmer payload (valid:1, prev:3, next:3) into
+    spare low bits of a widened key -> (n, WP) uint32 rows.  Invalid
+    rows become all-ones sentinels.  One packed row is the unit the
+    counting sorts and collectives move."""
+    w = keys.shape[-1]
+    wp = packed_width(w)
     payload = (valid.astype(jnp.uint32) << 6) \
         | (prev.astype(jnp.uint32) << 3) | nxt.astype(jnp.uint32)
     packed = bits.shl_const(bits.widen(keys, wp), 7)
     packed = packed.at[..., -1].set(packed[..., -1] | payload)
-    packed = jnp.where(valid[:, None], packed, jnp.uint32(0xFFFFFFFF))
+    return jnp.where(valid[:, None], packed, jnp.uint32(0xFFFFFFFF))
+
+
+def packed_width(w: int) -> int:
+    return (32 * w + 7 + 31) // 32  # lanes for key<<7 | payload
+
+
+def reduce_packed(packed, w: int):
+    """Sort + segment-reduce a packed k-mer stream (see pack_stream).
+    Returns full-length (padded) arrays plus the unique-entry count.
+
+    Perf notes (measured on v5e at 10M rows):
+    * the main sort moves 2-3 packed uint32 operands instead of W
+      keys + 3 payload columns;
+    * everything after the sort is gather- and scatter-free.  A 10M
+      random/monotonic gather costs 280-420ms on TPU while a 1-key
+      sort carrying ten payload operands costs ~65ms, so per-segment
+      reductions use the "last-row compaction" pattern: inclusive
+      prefix sums + one payload sort that moves each segment's LAST
+      row (whose prefix rows are the segment's cumulative totals) to
+      the front, where adjacent differences give the per-segment
+      sums."""
+    n, wp = packed.shape
 
     res = jax.lax.sort(
         tuple(packed[:, i] for i in range(wp)), num_keys=wp)
@@ -98,41 +115,51 @@ def _build_device(keys, prev, nxt, valid):
     snxt = (sp & 7).astype(jnp.uint8)
     skeys = bits._shr_const(spacked, 7)[:, wp - w:]
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         jnp.any(skeys[1:] != skeys[:-1], axis=-1)]
-    )
-    first = first & svalid  # sentinel block contributes nothing
-    num_unique = jnp.sum(first.astype(jnp.int32))
-    n_valid = jnp.sum(svalid.astype(jnp.int32))  # valid rows sort first
-
-    # Scatter-free segment reduction: TPU scatters/segment_sums are
-    # ~100ms per pass at 10M rows, so instead (a) one cheap 1-operand
-    # sort compacts head positions, (b) per-segment sums become
-    # differences of prefix sums gathered at the segment boundaries.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    hkey = jnp.where(first, idx, n)
-    (hidx,) = jax.lax.sort((hkey,), num_keys=1)  # head row of segment j
-    nxt_h = jnp.concatenate([hidx[1:], jnp.full((1,), n, jnp.int32)])
-    seg_end = jnp.minimum(nxt_h, n_valid)
-    count = jnp.maximum(seg_end - hidx, 0)
-
-    live_head = hidx < n
-    uniq_keys = jnp.where(
-        live_head[:, None],
-        skeys[jnp.clip(hidx, 0, n - 1)], jnp.uint32(0xFFFFFFFF))
+    # last[i]: i is the final (valid) row of its key segment.  Valid
+    # rows sort before the sentinel block, so segments are contiguous
+    # prefixes of the array.
+    diff = jnp.concatenate(
+        [jnp.any(skeys[1:] != skeys[:-1], axis=-1),
+         jnp.ones((1,), bool)])
+    last = diff & svalid
+    num_unique = jnp.sum(last.astype(jnp.int32))
 
     ones = svalid.astype(jnp.int32)
     onehot = jnp.concatenate(
         [jnp.stack([ones * (sprev == b) for b in range(4)], axis=-1),
          jnp.stack([ones * (snxt == b) for b in range(4)], axis=-1)],
         axis=-1)  # (n, 8)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(onehot, axis=0)])
-    cov = prefix[seg_end] - prefix[jnp.clip(hidx, 0, n)]
-    l_cov = jnp.where(live_head[:, None], cov[:, :4], 0)
-    r_cov = jnp.where(live_head[:, None], cov[:, 4:], 0)
-    return uniq_keys, count, l_cov, r_cov, num_unique
+    cov_incl = jnp.cumsum(onehot, axis=0)  # inclusive prefix per base
+
+    # Compaction: move each segment's last row (key lanes + inclusive
+    # prefix rows) to the front, in key order, with one payload sort.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lkey = jnp.where(last, idx, n)
+    res2 = jax.lax.sort(
+        (lkey,) + tuple(skeys[:, i] for i in range(w))
+        + tuple(cov_incl[:, j] for j in range(8)), num_keys=1)
+    lidx = res2[0]
+    live = lidx < n
+    uniq_keys = jnp.where(
+        live[:, None], jnp.stack(res2[1 : 1 + w], axis=-1),
+        jnp.uint32(0xFFFFFFFF))
+    cov_end = jnp.stack(res2[1 + w:], axis=-1)  # (n, 8) cumulative
+    cov_prev = jnp.concatenate(
+        [jnp.zeros((1, 8), jnp.int32), cov_end[:-1]])
+    cov = jnp.where(live[:, None], cov_end - cov_prev, 0)
+    # count: valid rows sort first, so the count of valid rows up to
+    # and including row i is i+1 — no prefix sum needed.
+    incl = jnp.where(live, lidx + 1, 0)
+    count = jnp.maximum(
+        incl - jnp.concatenate([jnp.zeros((1,), jnp.int32), incl[:-1]]), 0)
+    return uniq_keys, count, cov[:, :4], cov[:, 4:], num_unique
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _build_device(keys, prev, nxt, valid):
+    """Sort + segment-reduce one k-mer stream (pack + reduce)."""
+    w = keys.shape[-1]
+    return reduce_packed(pack_stream(keys, prev, nxt, valid), w)
 
 
 def build(stream, cap: int | None = None) -> KmerTable:
@@ -169,6 +196,40 @@ def build(stream, cap: int | None = None) -> KmerTable:
                      jnp.zeros(cap, bool))
 
 
+@jax.jit
+def _merge_device(keys, count, l_cov, r_cov):
+    """Concat-sorted segment reduction, gather/scatter-free (same
+    last-row compaction pattern as _build_device)."""
+    n_tot, w = keys.shape
+    vals = jnp.concatenate([count[:, None], l_cov, r_cov], axis=-1)
+    res = jax.lax.sort(
+        tuple(keys[:, i] for i in range(w))
+        + tuple(vals[:, j] for j in range(9)), num_keys=w)
+    skeys = jnp.stack(res[:w], axis=-1)
+    svals = jnp.stack(res[w:], axis=-1)
+    svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=-1)
+    diff = jnp.concatenate(
+        [jnp.any(skeys[1:] != skeys[:-1], axis=-1),
+         jnp.ones((1,), bool)])
+    last = diff & svalid
+    num_unique = jnp.sum(last.astype(jnp.int32))
+
+    incl = jnp.cumsum(jnp.where(svalid[:, None], svals, 0), axis=0)
+    idx = jnp.arange(n_tot, dtype=jnp.int32)
+    lkey = jnp.where(last, idx, n_tot)
+    res2 = jax.lax.sort(
+        (lkey,) + tuple(skeys[:, i] for i in range(w))
+        + tuple(incl[:, j] for j in range(9)), num_keys=1)
+    live = res2[0] < n_tot
+    uniq_keys = jnp.where(
+        live[:, None], jnp.stack(res2[1 : 1 + w], axis=-1),
+        jnp.uint32(0xFFFFFFFF))
+    v_end = jnp.stack(res2[1 + w:], axis=-1)
+    v_prev = jnp.concatenate([jnp.zeros((1, 9), jnp.int32), v_end[:-1]])
+    v = jnp.where(live[:, None], v_end - v_prev, 0)
+    return uniq_keys, v[:, 0], v[:, 1:5], v[:, 5:9], num_unique
+
+
 def merge(a: KmerTable, b: KmerTable) -> KmerTable:
     """Merge two tables (for streamed/batched counting): concat, re-sort,
     segment-add counts and coverages."""
@@ -176,30 +237,11 @@ def merge(a: KmerTable, b: KmerTable) -> KmerTable:
     count = jnp.concatenate([a.count, b.count])
     l_cov = jnp.concatenate([a.l_cov, b.l_cov])
     r_cov = jnp.concatenate([a.r_cov, b.r_cov])
-    n_tot, w = keys.shape
-    skeys, scount, sl0, sl1, sl2, sl3, sr0, sr1, sr2, sr3 = _sort_by_keys(
-        keys, count,
-        l_cov[:, 0], l_cov[:, 1], l_cov[:, 2], l_cov[:, 3],
-        r_cov[:, 0], r_cov[:, 1], r_cov[:, 2], r_cov[:, 3])
-    svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=-1)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.any(skeys[1:] != skeys[:-1], axis=-1)])
-    first = first & svalid
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    num_unique = jnp.maximum(seg[-1] + 1, 0) * jnp.any(svalid)
-    seg_c = jnp.clip(seg, 0, n_tot - 1)
-
-    def seg_sum(x):
-        return jax.ops.segment_sum(
-            jnp.where(svalid, x, 0), seg_c, num_segments=n_tot)
-
-    count_m = seg_sum(scount)
-    l_m = jnp.stack([seg_sum(sl0), seg_sum(sl1), seg_sum(sl2), seg_sum(sl3)], -1)
-    r_m = jnp.stack([seg_sum(sr0), seg_sum(sr1), seg_sum(sr2), seg_sum(sr3)], -1)
-    uniq_keys = jnp.full((n_tot, w), jnp.uint32(0xFFFFFFFF))
-    uniq_keys = uniq_keys.at[jnp.where(first, seg_c, n_tot)].set(
-        skeys, mode="drop")
+    w = keys.shape[-1]
+    uniq_keys, count_m, l_m, r_m, num_unique = _merge_device(
+        keys, count, l_cov, r_cov)
     n = int(num_unique)
+    n_tot = uniq_keys.shape[0]
     cap = round_up(max(n, 1))
     if cap > n_tot:
         pad = cap - n_tot
@@ -217,15 +259,57 @@ def merge(a: KmerTable, b: KmerTable) -> KmerTable:
         jnp.int32(n), jnp.zeros(cap, bool))
 
 
-@jax.jit
 def lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized multiword lower-bound binary search.
+    """Vectorized multiword lookup: (M,) int32 row index or -1.
 
-    keys: (cap, W) ascending (sentinel-padded).  queries: (M, W).
-    Returns (M,) int32 row index, or -1 when absent.  Replaces
-    search_kmerset's probe loop (src/newhash.c:239-283) with 32 fixed
-    bisection steps, fully data-parallel across queries.
+    Replaces search_kmerset's probe loop (src/newhash.c:239-283).
+    Two data-parallel strategies, chosen by static shape:
+
+    * large query sets: sort-merge join — tag table rows 0 / query
+      rows 1, one (W+1)-key sort groups each query behind its equal
+      table row, two cummax scans propagate the latest table row and
+      equal-key segment start forward, and a second 1-key sort
+      restores query order.  Gather-free: at 10M queries this is ~5x
+      faster than bisection on TPU (gathers are the expensive op).
+    * small query sets (M << cap): 32-step branchless bisection —
+      per-step gathers are M-sized, so the sort-join's O(cap) sort
+      would dominate.
     """
+    if queries.shape[0] * 64 < keys.shape[0]:
+        return _lookup_bisect(keys, queries)
+    return _lookup_sortjoin(keys, queries)
+
+
+@jax.jit
+def _lookup_sortjoin(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    cap, w = keys.shape
+    m = queries.shape[0]
+    n_tot = cap + m
+    lanes = tuple(jnp.concatenate([keys[:, i], queries[:, i]])
+                  for i in range(w))
+    tag = jnp.concatenate(
+        [jnp.zeros(cap, jnp.uint32), jnp.ones(m, jnp.uint32)])
+    src = jnp.concatenate([jnp.zeros(cap, jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    res = jax.lax.sort(lanes + (tag, src), num_keys=w + 1)
+    stag, ssrc = res[w], res[w + 1]
+    skeys = jnp.stack(res[:w], axis=-1)
+    pos = jnp.arange(n_tot, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         jnp.any(skeys[1:] != skeys[:-1], axis=-1)])
+    seg_start = jax.lax.cummax(jnp.where(head, pos, -1))
+    last_table = jax.lax.cummax(jnp.where(stag == 0, pos, -1))
+    trow = jnp.cumsum((stag == 0).astype(jnp.int32)) - 1
+    hit = (last_table >= seg_start) & (stag == 1)
+    result = jnp.where(hit, trow, -1)
+    qkey = jnp.where(stag == 1, ssrc, m)  # queries first, in src order
+    res2 = jax.lax.sort((qkey, result), num_keys=1)
+    return res2[1][:m]
+
+
+@jax.jit
+def _lookup_bisect(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     cap = keys.shape[0]
     m = queries.shape[0]
     steps = cap.bit_length()  # enough for the [0, cap) range to collapse

@@ -79,6 +79,7 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
     unique rows per shard.
     """
     w = bits.words_for_k(k)
+    wp = dictionary.packed_width(w)
     bounds = _owner_boundaries(k, n_shards)
 
     def step(seqs, lengths):
@@ -90,73 +91,43 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
         owner = jnp.where(stream.valid, owner,
                           n_shards)  # invalid -> drop bucket
 
-        # stable-sort records by owner, then slot into fixed buckets
-        order_key = owner
-        skey, skm0 = jax.lax.sort(
-            (order_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-        perm = skm0
-        s_owner = skey
-        s_kmers = stream.kmers[perm]
-        s_prev = stream.prev[perm]
-        s_next = stream.next[perm]
-        s_valid = stream.valid[perm] & (s_owner < n_shards)
+        # One packed row per record (key + valid/prev/next bits,
+        # dictionary.pack_stream) is the unit everything moves:
+        # a 1-key payload sort groups records by owner (payload sorts
+        # are ~5x cheaper than the gathers/scatters they replace),
+        # one fused monotonic gather slots each owner run into its
+        # fixed-size bucket, and a single all_to_all routes all lanes.
+        packed = dictionary.pack_stream(
+            stream.kmers, stream.prev, stream.next, stream.valid)
+        res = jax.lax.sort(
+            (owner,) + tuple(packed[:, i] for i in range(wp)),
+            num_keys=1)
+        s_owner = res[0]
+        s_packed = jnp.stack(res[1:], axis=-1)
 
-        first = jnp.concatenate(
-            [jnp.ones(1, bool), s_owner[1:] != s_owner[:-1]])
-        # position within bucket = index - start(owner)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        start_at = jnp.where(first, idx, 0)
-        start = jax.lax.associative_scan(jnp.maximum, start_at)
-        slot = idx - start
-        dropped = jnp.sum((slot >= bucket_cap) & s_valid)
-        dest = jnp.where(
-            s_valid & (slot < bucket_cap),
-            s_owner * bucket_cap + slot,
-            n_shards * bucket_cap)
+        start = jnp.searchsorted(
+            s_owner, jnp.arange(n_shards + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)  # (n_shards+1,) run starts; [-1] = #valid
+        cnt = start[1:] - start[:-1]
+        dropped = jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
 
-        send_k = jnp.full((n_shards * bucket_cap + 1, w),
-                          jnp.uint32(0xFFFFFFFF)
-                          ).at[dest].set(s_kmers, mode="drop")
-        send_p = jnp.full(n_shards * bucket_cap + 1, 4, jnp.uint8
-                          ).at[dest].set(s_prev, mode="drop")
-        send_x = jnp.full(n_shards * bucket_cap + 1, 4, jnp.uint8
-                          ).at[dest].set(s_next, mode="drop")
-        send_v = jnp.zeros(n_shards * bucket_cap + 1, bool
-                           ).at[dest].set(s_valid, mode="drop")
+        slot = jnp.arange(bucket_cap, dtype=jnp.int32)[None, :]
+        src = start[:-1][:, None] + slot          # (n_shards, bucket)
+        in_run = slot < cnt[:, None]
+        send = jnp.where(
+            in_run.reshape(-1)[:, None],
+            s_packed[jnp.clip(src.reshape(-1), 0, n - 1)],
+            jnp.uint32(0xFFFFFFFF))               # (n_shards*bucket, WP)
 
-        def a2a(x):
-            xs = x[: n_shards * bucket_cap].reshape(
-                (n_shards, bucket_cap) + x.shape[1:])
-            return jax.lax.all_to_all(
-                xs, AXIS, split_axis=0, concat_axis=0, tiled=False)
+        recv = jax.lax.all_to_all(
+            send.reshape(n_shards, bucket_cap, wp), AXIS,
+            split_axis=0, concat_axis=0, tiled=False).reshape(-1, wp)
 
-        rk = a2a(send_k).reshape(-1, w)
-        rp = a2a(send_p).reshape(-1)
-        rx = a2a(send_x).reshape(-1)
-        rv = a2a(send_v).reshape(-1)
-
-        # local sort + segment reduce (same core as dictionary.build)
-        m = rk.shape[0]
-        rk = jnp.where(rv[:, None], rk, jnp.uint32(0xFFFFFFFF))
-        ops = tuple(rk[:, i] for i in range(w)) + (rp, rx, rv)
-        res = jax.lax.sort(ops, num_keys=w)
-        sk = jnp.stack(res[:w], axis=-1)
-        sp, sx, sv = res[w], res[w + 1], res[w + 2]
-        firstu = jnp.concatenate(
-            [jnp.ones(1, bool), jnp.any(sk[1:] != sk[:-1], axis=-1)])
-        firstu = firstu & sv
-        seg = jnp.clip(jnp.cumsum(firstu.astype(jnp.int32)) - 1, 0, m - 1)
-        ones = sv.astype(jnp.int32)
-        count = jax.ops.segment_sum(ones, seg, num_segments=m)
-        l_cov = jnp.stack(
-            [jax.ops.segment_sum(ones * (sp == b), seg, num_segments=m)
-             for b in range(4)], axis=-1)
-        r_cov = jnp.stack(
-            [jax.ops.segment_sum(ones * (sx == b), seg, num_segments=m)
-             for b in range(4)], axis=-1)
-        uniq = jnp.full((m, w), jnp.uint32(0xFFFFFFFF)).at[
-            jnp.where(firstu, seg, m)].set(sk, mode="drop")
-        n_unique = jnp.sum(firstu.astype(jnp.int32))
+        # local reduce: same gather/scatter-free core as the
+        # single-device build (dictionary.reduce_packed)
+        uniq, count, l_cov, r_cov, n_unique = dictionary.reduce_packed(
+            recv, w)
+        m = recv.shape[0]
 
         def fit(x, fill):
             pad_shape = (out_cap - min(out_cap, m),) + x.shape[1:]
