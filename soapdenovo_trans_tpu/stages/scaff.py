@@ -300,10 +300,13 @@ def heaviest_paths(g: ConnGraph, locus: List[int], cvg,
                     key=lambda c: float(cvg[c]), default=None)
         if heavy is None:
             break
+        # -1 sentinel for "no predecessor" — contig row 0 is a valid
+        # path member/head (getBestWay traceback semantics,
+        # reference src/transcriptome.c:1599)
         score: Dict[int, float] = {}
         best_pred: Dict[int, int] = {}
         for c in order:  # topological: preds scored first
-            s, bp = 0.0, 0
+            s, bp = 0.0, -1
             for f, rec in g.in_live(c):
                 bonus = 10000.0 if (f == heavy or c == heavy) else 1.0
                 val = bonus * rec["weight"] + score.get(f, 0.0)
@@ -314,20 +317,20 @@ def heaviest_paths(g: ConnGraph, locus: List[int], cvg,
         # best endpoint: max score among sinks reachable through heavy,
         # falling back to global max score
         def through_heavy(c):
-            while c:
+            while c != -1:
                 if c == heavy:
                     return True
-                c = best_pred.get(c, 0)
+                c = best_pred.get(c, -1)
             return False
         sinks = [c for c in locus if not g.out_live(c)] or locus
         cand = [c for c in sinks if through_heavy(c)] or sinks
         end = max(cand, key=lambda c: score.get(c, 0.0))
         path = []
         c = end
-        while c:
+        while c != -1:
             path.append(c)
             used[c] = True
-            c = best_pred.get(c, 0)
+            c = best_pred.get(c, -1)
         path.reverse()
         if len(path) >= 1:
             paths.append(path)

@@ -230,3 +230,25 @@ def test_scaf_statistics_report(tmp_path):
     assert "Contig_Num\t1" in text
     assert "GC_Content\t50.00%" in text.split("Contig_Num")[1] or \
         "GC_Content\t50.00%" in text
+
+
+def test_heaviest_paths_includes_row0():
+    """Contig row 0 is a valid path head/member — -1 traceback sentinel
+    (getBestWay, transcriptome.c:1599).  Path 0 -> 1 -> 2 must come back
+    intact, not truncated at row 0."""
+    twin = np.arange(6)
+    ctg_len = np.full(6, 200)
+    unique = np.ones(6, bool)
+
+    class C:
+        n = 2
+        from_ctg = np.array([0, 1])
+        to_ctg = np.array([1, 2])
+        gap = np.zeros(2, np.int32)
+        weight = np.array([5, 5])
+        se_count = np.zeros(2, np.int32)
+
+    g = scaff.ConnGraph(C(), twin, ctg_len, unique)
+    cvg = np.array([10.0, 50.0, 10.0, 0, 0, 0])
+    paths = scaff.heaviest_paths(g, [0, 1, 2], cvg, scaff.ScaffParams())
+    assert [0, 1, 2] in paths
