@@ -244,19 +244,15 @@ def run_pregraph_cmd(args):
     if grads:
         stagefiles.write_pe_grads(
             args.out + ".peGrads", grads, n_reads, cfg.max_rd_len)
+    from .io import graph_files
+    n_vt = graph_files.write_pregraph_files(
+        args.out, res.table, res.edges, res.arcs, args.k)
     stagefiles.write_pregraph_basic(
         args.out + ".preGraphBasic",
-        n_vertex=int(res.table.n), k=args.k,
+        n_vertex=n_vt, k=args.k,
         n_edge=int(res.edges.n_edges), max_read_len=cfg.max_rd_len)
-    with open(args.out + ".pregraph.pkl", "wb") as fh:
-        pickle.dump({
-            "k": res.k,
-            "table": _to_np(res.table),
-            "edges": _to_np(res.edges),
-            "arcs": _to_np(res.arcs),
-        }, fh)
     print(f"[pregraph] wrote {args.out}.kmerFreq/.preGraphBasic/"
-          f".pregraph.pkl")
+          f".vertex/.edge.gz/.preArc")
     return res
 
 
@@ -282,12 +278,13 @@ def run_contig_cmd(args, res=None):
     from .stages import contig as contig_stage
 
     if res is None:
-        with open(args.out + ".pregraph.pkl", "rb") as fh:
-            data = pickle.load(fh)
-        k = data["k"]
-        table = _to_jnp(data["table"])
-        edges = _to_jnp(data["edges"])
-        aset = _to_jnp(data["arcs"])
+        # resume from the reference-format stage files
+        # (loadVertex/loadEdge/loadPreArcs, src/loadPreGraph.c:52-670)
+        from .io import graph_files
+        table, edges, aset, k = graph_files.load_pregraph_files(args.out)
+        print(f"[contig] loaded {int(edges.n_edges)} edges, "
+              f"{int(aset.n)} preArcs from {args.out}.vertex/.edge.gz/"
+              f".preArc")
     else:
         k, table, edges, aset = res.k, res.table, res.edges, res.arcs
 
@@ -298,14 +295,21 @@ def run_contig_cmd(args, res=None):
         light_flow_pct=getattr(args, "light_flow", 2),
         high_arc_multi=getattr(args, "high_arc", 200),
         short_component=getattr(args, "short_cutoff", 48))
+    from .graph import contig_merge
     ctg = contig_stage.run_contig(edges, aset, k, params, table=table)
+    # renumber rows into .contig/.ContigIndex file order once, so the
+    # internal row ids downstream (map, scaff) == file ids - 1
+    ctg = contig_merge.reorder_contigs(
+        ctg, contig_merge.contig_file_perm(ctg, k))
     perm = stagefiles.write_contig_fasta(
         args.out + ".contig", ctg, table, k, arcs=ctg.arcs)
+    assert perm == list(range(int(ctg.n))), "file perm not identity"
     stagefiles.write_contig_index(args.out + ".ContigIndex", ctg, k, perm)
-    with open(args.out + ".contig.pkl", "wb") as fh:
-        pickle.dump({"k": k, "contigs": _to_np(ctg)}, fh)
-    print(f"[contig] wrote {args.out}.contig/.ContigIndex")
-    return ctg
+    from .io import graph_files
+    graph_files.write_contig_graph_files(args.out, ctg, table, k, perm)
+    print(f"[contig] wrote {args.out}.contig/.ContigIndex/"
+          f".updated.edge/.Arc")
+    return ctg, table, k
 
 
 def run_map_cmd(args, ctg=None, table=None):
@@ -317,12 +321,11 @@ def run_map_cmd(args, ctg=None, table=None):
 
     cfg = libconfig.parse_config(args.config)
     if ctg is None:
-        with open(args.out + ".contig.pkl", "rb") as fh:
-            data = pickle.load(fh)
-        ctg = _to_jnp(data["contigs"])
-        k = data["k"]
-        with open(args.out + ".pregraph.pkl", "rb") as fh:
-            table = _to_jnp(pickle.load(fh)["table"])
+        # resume from reference-format contig stage files
+        from .io import graph_files
+        ctg, table, k = graph_files.load_contig_graph_files(args.out)
+        print(f"[map] loaded {int(ctg.n)} contigs from "
+              f"{args.out}.updated.edge/.Arc/.contig")
     else:
         k = args.k
 
@@ -333,7 +336,8 @@ def run_map_cmd(args, ctg=None, table=None):
     placements = []
     batch_ins = []  # per batch: insert size used (0 for SE libs)
     want_f = getattr(args, "gap_reads", False)
-    ctg2read_rows = []   # .ctg2Read: qualifying (read, contig) groups
+    group_rows = []      # per batch: (read, ctg, ctg_off, read_off,
+                         #             align, same) qualifying groups
     pe_rows, gap_rows, short_reads = [], [], []  # -f payloads
     base = 0             # global read counter across batches
     n_ctg_rows = ctg.length.shape[0]
@@ -369,18 +373,19 @@ def run_map_cmd(args, ctg=None, table=None):
         cand_v.append(v); cand_se.append(jnp.ones_like(v))
         batch_ins.append(np.full(r, ins_for_batch, np.int32))
 
-        # .ctg2Read: all >=multi alignment groups (recordAlldgn,
-        # reference prlRead2Ctg.c:570-574)
+        # qualifying alignment groups in read-encounter order
+        # (recordAlldgn, reference prlRead2Ctg.c:530-614)
         gv = np.asarray(pl.g_valid)
         qi = np.nonzero(gv)[0]
         if qi.size:
-            gr = np.asarray(pl.g_read)[qi]
-            gc = np.asarray(pl.g_ctg)[qi]
-            go = np.asarray(pl.g_ctg_off)[qi]
+            gr = np.asarray(pl.g_read)[qi] + base
             gro = np.asarray(pl.g_read_off)[qi]
-            ctg2read_rows.extend(
-                (base + int(gr[i]) + 1, int(gc[i]),
-                 int(gro[i]) - int(go[i]), "+") for i in range(qi.size))
+            order = np.lexsort((gro, gr))
+            qi = qi[order]
+            group_rows.append((
+                gr[order], np.asarray(pl.g_ctg)[qi],
+                np.asarray(pl.g_ctg_off)[qi], gro[order],
+                np.asarray(pl.g_align)[qi], np.asarray(pl.g_same)[qi]))
         if want_f and lib.has_pairs:
             cb = np.asarray(pl.ctg)
             pb = np.asarray(pl.pos)
@@ -426,21 +431,59 @@ def run_map_cmd(args, ctg=None, table=None):
         pickle.dump({"k": k, "conn": _to_np(conn),
                      "read_ctg": read_ctg, "read_pos": read_pos,
                      "read_ins": read_ins}, fh)
-    # .readOnContig (text, reference format: readno ctg pos orien)
+    # group stream, reference id space (1-based, resolved orientation)
+    if group_rows:
+        g_read = np.concatenate([g[0] for g in group_rows])
+        g_ctg = np.concatenate([g[1] for g in group_rows])
+        g_off = np.concatenate([g[2] for g in group_rows])
+        g_roff = np.concatenate([g[3] for g in group_rows])
+        g_aln = np.concatenate([g[4] for g in group_rows])
+        g_same = np.concatenate([g[5] for g in group_rows])
+    else:
+        g_read = g_ctg = g_off = g_roff = g_aln = np.zeros(0, np.int64)
+        g_same = np.zeros(0, bool)
+    # .readOnContig: one line per mapped read; odd readnos report the
+    # LAST alignment group, even the FIRST (recordAlldgn,
+    # prlRead2Ctg.c:565-568); pos = contigOffset - readOffset + 1
+    first_of = np.concatenate(
+        [np.ones(1, bool), g_read[1:] != g_read[:-1]]) \
+        if g_read.size else np.zeros(0, bool)
+    last_of = np.concatenate(
+        [g_read[1:] != g_read[:-1], np.ones(1, bool)]) \
+        if g_read.size else np.zeros(0, bool)
     with open(args.out + ".readOnContig", "w") as fh:
-        fh.write("read\tcontig\tpos\n")
-        readno = 0
-        for pl, _li in placements:
-            arr_c = np.asarray(pl.ctg)
-            arr_p = np.asarray(pl.pos)
-            arr_r = np.asarray(pl.reverse)
-            for i in range(len(arr_c)):
-                readno += 1
-                if arr_c[i] >= 0:
-                    orien = "-" if arr_r[i] else "+"
-                    fh.write(f"{readno}\t{arr_c[i]}\t{arr_p[i]}\t{orien}\n")
+        pick = np.where((g_read + 1) % 2 == 1, last_of, first_of) \
+            if g_read.size else first_of
+        sel = np.nonzero(pick)[0]
+        for i in sel:
+            orien = "+" if g_same[i] else "-"
+            fh.write(f"{g_read[i] + 1}\t{g_ctg[i] + 1}\t"
+                     f"{g_off[i] - g_roff[i] + 1}\t{orien}\n")
     from .io import stagefiles
-    stagefiles.write_ctg2read(args.out + ".ctg2Read", ctg2read_rows)
+    stagefiles.write_ctg2read(
+        args.out + ".ctg2Read",
+        [(int(g_read[i]) + 1, int(g_ctg[i]) + 1,
+          int(g_roff[i]) - int(g_off[i]), "+" if g_same[i] else "-")
+         for i in range(g_read.size)])
+    if getattr(args, "read_trace", False) or getattr(args, "rpkm", False):
+        # .readInformation (reference prlRead2Ctg.c:575-588, -r/-R):
+        # readno readOffset-1 ctg ctgOffset alignLen+K-1 orien, with
+        # '-' rows flipped back to the stored-orientation contig
+        full_np = np.asarray(full_len)
+        twin_np = np.asarray(ctg.twin)
+        with open(args.out + ".readInformation", "w") as fh:
+            for i in range(g_read.size):
+                alen = int(g_aln[i]) + k - 1
+                if g_same[i]:
+                    fh.write(f"{g_read[i] + 1}\t{g_roff[i] - 1}\t"
+                             f"{g_ctg[i] + 1}\t{g_off[i]}\t{alen}\t+\n")
+                else:
+                    tw = int(twin_np[g_ctg[i]])
+                    off = int(full_np[g_ctg[i]]) - int(g_off[i]) - alen
+                    fh.write(f"{g_read[i] + 1}\t{g_roff[i] - 1}\t"
+                             f"{tw + 1}\t{off}\t{alen}\t-\n")
+        print(f"[map] wrote {args.out}.readInformation "
+              f"({g_read.size} alignments)")
     if want_f:
         stagefiles.write_read_in_gap(args.out + ".readInGap", gap_rows)
         stagefiles.write_pe_read_on_contig(
@@ -460,12 +503,10 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
 
     link_extra = {}
     if ctg is None:
-        with open(args.out + ".contig.pkl", "rb") as fh:
-            data = pickle.load(fh)
-        ctg = _to_jnp(data["contigs"])
-        k = data["k"]
-        with open(args.out + ".pregraph.pkl", "rb") as fh:
-            table = _to_jnp(pickle.load(fh)["table"])
+        from .io import graph_files
+        ctg, table, k = graph_files.load_contig_graph_files(args.out)
+        print(f"[scaff] loaded {int(ctg.n)} contigs from "
+              f"{args.out}.updated.edge/.Arc/.contig")
         with open(args.out + ".links.pkl", "rb") as fh:
             ldata = pickle.load(fh)
         conn = _to_jnp(ldata["conn"])
@@ -564,11 +605,11 @@ def main(argv=None):
             with profiling.stage_timer("pregraph"):
                 res = run_pregraph_cmd(args)
             with profiling.stage_timer("contig"):
-                ctg = run_contig_cmd(args, res)
+                ctg, table, _k = run_contig_cmd(args, res)
             with profiling.stage_timer("map"):
-                conn = run_map_cmd(args, ctg=ctg, table=res.table)
+                conn = run_map_cmd(args, ctg=ctg, table=table)
             with profiling.stage_timer("scaff"):
-                run_scaff_cmd(args, ctg=ctg, table=res.table, conn=conn)
+                run_scaff_cmd(args, ctg=ctg, table=table, conn=conn)
     print(profiling.timing_table())
     print(f"[done] total {time.time() - t0:.1f}s")
 

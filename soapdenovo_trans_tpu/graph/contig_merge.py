@@ -235,3 +235,70 @@ def contig_sequences(ctg: Contigs, table, k: int):
         tail = "".join(bits.BASE_CHARS[b] for b in pool[off : off + ln])
         out.append(km + tail)
     return out
+
+
+def contig_file_perm(ctg: Contigs, k: int):
+    """The .contig/.ContigIndex id assignment (output_contig.c:135-170):
+    contigs sorted by full length ascending (stable on row), each twin
+    pair claiming consecutive ids with the representative first.
+    Returns perm: new id - 1 -> contig row."""
+    import numpy as np
+
+    n = int(ctg.n)
+    lengths = np.asarray(ctg.length[:n]) + k
+    twin = np.asarray(ctg.twin[:n])
+    order = np.argsort(lengths, kind="stable")
+    printed = np.zeros(n, bool)
+    perm = []
+    for row in order:
+        if printed[row]:
+            continue
+        printed[row] = True
+        perm.append(int(row))
+        t = int(twin[row])
+        if 0 <= t < n and t != row:
+            printed[t] = True
+            perm.append(t)
+    return perm
+
+
+def reorder_contigs(ctg: Contigs, perm) -> Contigs:
+    """Permute contig rows into the .contig/.ContigIndex file order so
+    internal row i == file id i+1 everywhere downstream (the reference
+    keeps an index_array to translate between the map-stage and
+    scaff-stage numberings, loadGraph.c:309; we renumber once
+    instead)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    n = int(ctg.n)
+    cap = ctg.length.shape[0]
+    perm = np.asarray(perm, np.int64)
+    old2new = np.full(cap, -1, np.int64)
+    old2new[perm] = np.arange(n)
+
+    def permute(a):
+        a = np.asarray(a)
+        out = a.copy()
+        out[:n] = a[perm]
+        return jnp.asarray(out)
+
+    def remap_ids(a):
+        a = np.asarray(a)
+        safe = np.clip(a, 0, cap - 1)
+        return jnp.asarray(np.where(a >= 0, old2new[safe], a).astype(a.dtype))
+
+    twin = np.asarray(ctg.twin)
+    new_twin = np.where(twin[: cap] >= 0,
+                        old2new[np.clip(twin, 0, cap - 1)], -1)
+    new_twin_p = new_twin.copy()
+    new_twin_p[:n] = new_twin[perm]
+    aset = ctg.arcs
+    aset = aset._replace(from_ed=remap_ids(aset.from_ed),
+                         to_ed=remap_ids(aset.to_ed))
+    return Contigs(
+        permute(ctg.from_node), permute(ctg.to_node),
+        permute(ctg.length), permute(ctg.cvg),
+        jnp.asarray(new_twin_p.astype(np.int32)),
+        permute(ctg.seq_off), ctg.seq_pool, ctg.n,
+        remap_ids(ctg.edge2contig), aset)

@@ -1,0 +1,531 @@
+"""Reference-format graph stage files: .vertex / .edge.gz / .preArc
+(pregraph -> contig boundary) and .updated.edge / .Arc /
+.newContigIndex (contig -> scaff boundary).
+
+Writers let the reference binary resume from our stage output; loaders
+let us resume from the reference's — the oracle-diff interop SURVEY.md
+§4/§5 calls for.  Formats:
+
+* .vertex  — branch-kmer hex dump, 8 per line (reference
+  output_pregraph.c:47-81, print_kmer kmer.c:499-516); the loader
+  canonicalizes and sorts (loadPreGraph.c:52-122).
+* .edge.gz — one record per canonical edge pair:
+  ``>length L,<from kmer hex>,<to kmer hex>,cvg C, B`` + seq chars
+  (100/line); the loader materializes the reverse-complement twin
+  right after each B==1 record (output_pregraph.c:83-100,
+  loadPreGraph.c:306-541).
+* .preArc  — ``from to1 m1 to2 m2 ...`` with 1-based edge ids
+  (prlRead2path.c output_arcs, loadPreGraph.c:629-670).
+* .updated.edge — ``EDGEs n`` + per contig
+  ``>length L,S,C <from hex>,<to hex>,`` where S is 1/-1/0 for
+  smaller-than-twin / larger / palindrome and L includes the K overlap
+  (output_contig.c:289-336; scaff parses only L,S,C —
+  loadGraph.c:207-330).
+* .Arc — ``i to1 m1 ...`` in contig ids, wrapped every 10 pairs
+  (output_contig.c:336-380).
+* .newContigIndex — ``old new bal_edge`` emitted while the scaff
+  stage re-sorts contigs by length (loadGraph.c:241-331).
+
+Hex formatting follows the compile-time MER variant the reference
+would use for this K: one u64 for K<=31, "high low" for K<=63, four
+u64 words for K<=127 (kmer.c print_kmer / loadPreGraph fscanf).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import List, Tuple
+
+import numpy as np
+
+from ..ops import bits
+
+_COMP = {"A": "T", "C": "G", "T": "A", "G": "C"}
+
+
+def _n_u64(k: int) -> int:
+    return 1 if k <= 31 else (2 if k <= 63 else 4)
+
+
+def _lanes_to_int(lanes: np.ndarray) -> int:
+    v = 0
+    for x in lanes:
+        v = (v << 32) | int(x)
+    return v
+
+
+def _int_to_lanes(v: int, w: int) -> np.ndarray:
+    return np.asarray(
+        [(v >> (32 * (w - 1 - i))) & 0xFFFFFFFF for i in range(w)],
+        dtype=np.uint32)
+
+
+def _kmer_hex(lanes: np.ndarray, k: int) -> str:
+    """print_kmer text for one kmer (kmer.c:499-516)."""
+    v = _lanes_to_int(lanes)
+    n = _n_u64(k)
+    if n == 1:
+        return f"{v:x}" if v else "0x0"  # MER31 zero quirk
+    words = [(v >> (64 * (n - 1 - i))) & ((1 << 64) - 1) for i in range(n)]
+    return " ".join(f"{wv:x}" for wv in words)
+
+
+def _parse_kmer_hex(words: List[str], k: int) -> np.ndarray:
+    v = 0
+    for t in words:
+        v = (v << 64) | int(t, 16)
+    return _int_to_lanes(v, bits.words_for_k(k))
+
+
+def _revcomp_int(v: int, k: int) -> int:
+    out = 0
+    for _ in range(k):
+        out = (out << 2) | ((v & 3) ^ 2)
+        v >>= 2
+    return out
+
+
+def _oriented_kmer(table_keys: np.ndarray, node: int, k: int) -> int:
+    """Directed node id (2*row + s) -> oriented kmer integer."""
+    row, s = node >> 1, node & 1
+    v = _lanes_to_int(table_keys[row])
+    return _revcomp_int(v, k) if s else v
+
+
+# ---------------------------------------------------------------------------
+# pregraph -> contig boundary
+# ---------------------------------------------------------------------------
+
+def write_pregraph_files(prefix: str, table, edges, arcs, k: int) -> int:
+    """Write .vertex, .edge.gz and .preArc from the in-memory pregraph
+    result; returns the vertex count (for .preGraphBasic's VERTEX
+    field).  Edge file ids are assigned pairwise (rep then twin) like
+    the reference loader expects."""
+    keys = np.asarray(table.keys)
+    n_e = int(edges.n_edges)
+    from_node = np.asarray(edges.from_node[:n_e])
+    to_node = np.asarray(edges.to_node[:n_e])
+    length = np.asarray(edges.length[:n_e])
+    cvg = np.asarray(edges.cvg[:n_e])
+    twin = np.asarray(edges.twin[:n_e])
+    seq_off = np.asarray(edges.seq_off[:n_e])
+    pool = np.asarray(edges.seq_pool)
+
+    # vertex set: canonical rows of all live edge endpoints
+    rows = np.unique(np.concatenate([from_node, to_node]) >> 1)
+    with open(prefix + ".vertex", "w") as fh:
+        for i, r in enumerate(rows):
+            fh.write(_kmer_hex(keys[r], k) + " ")
+            if (i + 1) % 8 == 0:
+                fh.write("\n")
+        fh.write("\n")
+
+    # edges: rep first, twin implicit
+    file_id = np.zeros(n_e, np.int64)
+    nxt = 1
+    order: List[int] = []
+    for e in range(n_e):
+        t = int(twin[e])
+        if t == e:
+            file_id[e] = nxt
+            order.append(e)
+            nxt += 1
+        elif file_id[e] == 0:
+            file_id[e] = nxt
+            if 0 <= t < n_e:
+                file_id[t] = nxt + 1
+            order.append(e)
+            nxt += 2
+    with gzip.open(prefix + ".edge.gz", "wt") as fh:
+        for e in order:
+            fk = _kmer_hex(
+                _int_to_lanes(
+                    _oriented_kmer(keys, int(from_node[e]), k),
+                    bits.words_for_k(k)), k)
+            tk = _kmer_hex(
+                _int_to_lanes(
+                    _oriented_kmer(keys, int(to_node[e]), k),
+                    bits.words_for_k(k)), k)
+            bal = 0 if int(twin[e]) == e else 1
+            ln = int(length[e])
+            fh.write(f">length {ln},{fk},{tk},cvg {int(cvg[e])}, {bal}\n")
+            s = pool[int(seq_off[e]): int(seq_off[e]) + ln]
+            line = "".join(bits.BASE_CHARS[b] for b in s)
+            for j in range(0, max(ln, 1), 100):
+                fh.write(line[j: j + 100] + "\n")
+
+    a_n = int(arcs.n)
+    f = np.asarray(arcs.from_ed[:a_n])
+    t = np.asarray(arcs.to_ed[:a_n])
+    m = np.asarray(arcs.mult[:a_n])
+    by_from: dict = {}
+    for i in range(a_n):
+        by_from.setdefault(int(file_id[f[i]]), []).append(
+            (int(file_id[t[i]]), int(m[i])))
+    with open(prefix + ".preArc", "w") as fh:
+        for fe in sorted(by_from):
+            parts = [str(fe)]
+            for te, mm in by_from[fe]:
+                parts.append(f"{te} {mm}")
+            fh.write(" ".join(parts) + "\n")
+    return len(rows)
+
+
+def load_pregraph_files(prefix: str):
+    """Parse reference .preGraphBasic/.vertex/.edge.gz/.preArc into
+    (vertex KmerTable, EdgeGraph, ArcSet, k) in our representation
+    (explicit twin rows, like loadPreGraph.c's loadVertex/loadEdge/
+    loadPreArcs)."""
+    import jax.numpy as jnp
+
+    from ..graph import arcs as arcs_mod
+    from ..graph import unitigs
+    from ..ops import dictionary
+
+    k = None
+    n_vt = n_ed = 0
+    with open(prefix + ".preGraphBasic") as fh:
+        for line in fh:
+            if line.startswith("VERTEX"):
+                parts = line.split()
+                n_vt, k = int(parts[1]), int(parts[3])
+            elif line.startswith("EDGEs"):
+                n_ed = int(line.split()[1])
+    assert k, ".preGraphBasic missing VERTEX line"
+    w = bits.words_for_k(k)
+    nu = _n_u64(k)
+
+    toks: List[str] = []
+    with open(prefix + ".vertex") as fh:
+        for line in fh:
+            toks.extend(line.split())
+    vals = []
+    for i in range(n_vt):
+        v = _lanes_to_int(_parse_kmer_hex(toks[i * nu: (i + 1) * nu], k))
+        vals.append(min(v, _revcomp_int(v, k)))
+    vals.sort()
+    vt_keys = np.stack([_int_to_lanes(v, w) for v in vals]) if vals else \
+        np.zeros((0, w), np.uint32)
+
+    import bisect
+
+    def vt_id(v: int) -> int:
+        c = min(v, _revcomp_int(v, k))
+        i = bisect.bisect_left(vals, c)
+        assert i < len(vals) and vals[i] == c, "vertex not found"
+        return 2 * i + (0 if v == c else 1)
+
+    # edges: (len, fk, tk, cvg, seq, bal)
+    recs: List[tuple] = []
+    with gzip.open(prefix + ".edge.gz", "rt") as fh:
+        cur = None
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur is not None:
+                    recs.append(tuple(cur))
+                body = line[len(">length "):]
+                fields = body.split(",")
+                ln = int(fields[0])
+                fk = _lanes_to_int(_parse_kmer_hex(fields[1].split(), k))
+                tk = _lanes_to_int(_parse_kmer_hex(fields[2].split(), k))
+                cvg_s, bal_s = fields[3].split()[1], fields[4].strip()
+                cur = [ln, fk, tk, int(cvg_s), "", int(bal_s)]
+            elif cur is not None:
+                cur[4] += "".join(c for c in line if c.isalpha())
+        if cur is not None:
+            recs.append(tuple(cur))
+
+    from_node, to_node, length, cvg, twin, seqs = [], [], [], [], [], []
+    for ln, fk, tk, cv, seq, bal in recs:
+        e = len(from_node)
+        from_node.append(vt_id(fk))
+        to_node.append(vt_id(tk))
+        length.append(ln)
+        cvg.append(cv)
+        seqs.append(seq)
+        if bal:
+            twin.append(e + 1)
+            # twin appended seq = revcomp of first L bases of (fk||seq)
+            full = bits.kmer_to_string(_int_to_lanes(fk, w), k) + seq
+            rc = "".join(_COMP[c] for c in reversed(full))[k:]
+            from_node.append(vt_id(_revcomp_int(tk, k)))
+            to_node.append(vt_id(_revcomp_int(fk, k)))
+            length.append(ln)
+            cvg.append(cv)
+            twin.append(e)
+            seqs.append(rc)
+        else:
+            twin.append(e)
+    n_e = len(from_node)
+
+    e_cap = dictionary.round_up(max(n_e, 1))
+    pool = "".join(seqs)
+    s_cap = dictionary.round_up(max(len(pool), 1))
+    seq_off = np.zeros(e_cap, np.int32)
+    off = 0
+    for e in range(n_e):
+        seq_off[e] = off
+        off += length[e]
+    pool_codes = np.frombuffer(pool.encode(), np.uint8)
+    pool_arr = np.zeros(s_cap, np.uint8)
+    pool_arr[: len(pool)] = bits._CHAR2CODE[pool_codes]
+
+    def pad(a, fill, dtype=np.int32):
+        out = np.full(e_cap, fill, dtype)
+        out[:n_e] = a
+        return out
+
+    edges = unitigs.EdgeGraph(
+        jnp.asarray(pad(from_node, -1)), jnp.asarray(pad(to_node, -1)),
+        jnp.asarray(pad(length, 0)), jnp.asarray(pad(cvg, 0)),
+        jnp.asarray(pad(twin, -1)), jnp.asarray(seq_off),
+        jnp.asarray(pool_arr), jnp.int32(n_e),
+        jnp.full(2 * max(len(vals), 1), -1, np.int32),
+        jnp.full(2 * max(len(vals), 1), -1, np.int32),
+        jnp.zeros(e_cap, bool))
+
+    cap_v = dictionary.round_up(max(len(vals), 1))
+    keys = np.full((cap_v, w), 0xFFFFFFFF, np.uint32)
+    if len(vals):
+        keys[: len(vals)] = vt_keys
+    table = dictionary.KmerTable(
+        jnp.asarray(keys), jnp.zeros(cap_v, jnp.int32),
+        jnp.zeros((cap_v, 4), jnp.int32), jnp.zeros((cap_v, 4), jnp.int32),
+        jnp.int32(len(vals)), jnp.zeros(cap_v, bool))
+
+    fr, to, mu = [], [], []
+    try:
+        fh = open(prefix + ".preArc")
+    except FileNotFoundError:
+        fh = None
+    if fh is not None:
+        with fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                fe = int(parts[0]) - 1
+                for i in range(1, len(parts) - 1, 2):
+                    fr.append(fe)
+                    to.append(int(parts[i]) - 1)
+                    mu.append(int(parts[i + 1]))
+    a_cap = dictionary.round_up(max(len(fr), 1))
+
+    def pad_a(a):
+        out = np.zeros(a_cap, np.int32)
+        out[: len(a)] = a
+        return jnp.asarray(out)
+
+    aset = arcs_mod.ArcSet(pad_a(fr), pad_a(to), pad_a(mu),
+                           jnp.int32(len(fr)))
+    return table, edges, aset, k
+
+
+# ---------------------------------------------------------------------------
+# contig -> scaff boundary
+# ---------------------------------------------------------------------------
+
+def write_contig_graph_files(prefix: str, ctg, table, k: int,
+                             perm: List[int]) -> None:
+    """.updated.edge + .Arc in the .contig/.ContigIndex numbering
+    (perm: new id - 1 -> contig row, from write_contig_fasta)."""
+    keys = np.asarray(table.keys)
+    n = int(ctg.n)
+    length = np.asarray(ctg.length[:n])
+    cvg = np.asarray(ctg.cvg[:n])
+    twin = np.asarray(ctg.twin[:n])
+    from_node = np.asarray(ctg.from_node[:n])
+    to_node = np.asarray(ctg.to_node[:n])
+    new_of = np.zeros(n, np.int64)
+    for i, row in enumerate(perm):
+        new_of[row] = i + 1
+
+    with open(prefix + ".updated.edge", "w") as fh:
+        fh.write(f"EDGEs {len(perm)}\n")
+        for row in perm:
+            t = int(twin[row])
+            if t == row:
+                s = 0
+            else:
+                s = 1 if new_of[row] < new_of[t] else -1
+            ln = int(length[row])
+            full = ln + k if ln else 0
+            fk = _kmer_hex(_int_to_lanes(
+                _oriented_kmer(keys, int(from_node[row]), k),
+                bits.words_for_k(k)), k)
+            tk = _kmer_hex(_int_to_lanes(
+                _oriented_kmer(keys, int(to_node[row]), k),
+                bits.words_for_k(k)), k)
+            fh.write(f">length {full},{s},{int(cvg[row])} {fk},{tk},\n")
+
+    arcs = ctg.arcs
+    a_n = int(arcs.n)
+    f = np.asarray(arcs.from_ed[:a_n])
+    t = np.asarray(arcs.to_ed[:a_n])
+    m = np.asarray(arcs.mult[:a_n])
+    by_from: dict = {}
+    for i in range(a_n):
+        if f[i] < 0 or f[i] >= n or t[i] < 0 or t[i] >= n:
+            continue
+        by_from.setdefault(int(new_of[f[i]]), []).append(
+            (int(new_of[t[i]]), int(m[i])))
+    with open(prefix + ".Arc", "w") as fh:
+        for fe in sorted(by_from):
+            fh.write(str(fe))
+            for j, (te, mm) in enumerate(by_from[fe]):
+                fh.write(f" {te} {mm}")
+                if (j + 1) % 10 == 0:
+                    fh.write(f"\n{fe}")
+            fh.write("\n")
+
+
+def load_contig_graph_files(prefix: str):
+    """Parse reference .preGraphBasic/.updated.edge/.Arc/.contig into
+    (Contigs, k); row order = .updated.edge record order (0-based
+    file id - 1), i.e. the .ContigIndex numbering our map stage uses.
+    Also writes .newContigIndex like the reference scaff loader
+    (loadGraph.c:241-331)."""
+    import jax.numpy as jnp
+
+    from ..graph import arcs as arcs_mod
+    from ..graph import contig_merge
+    from ..ops import dictionary
+
+    k = None
+    with open(prefix + ".preGraphBasic") as fh:
+        for line in fh:
+            if line.startswith("VERTEX"):
+                k = int(line.split()[3])
+                break
+    assert k, ".preGraphBasic missing VERTEX line"
+
+    lengths, bals, cvgs = [], [], []
+    with open(prefix + ".updated.edge") as fh:
+        for line in fh:
+            if line.startswith(">"):
+                body = line[len(">length "):]
+                f0, f1, rest = body.split(",", 2)
+                lengths.append(int(f0))
+                bals.append(int(f1))
+                cvgs.append(int(rest.split()[0]))
+    n = len(lengths)
+    length = np.asarray(lengths, np.int64)
+    app_len = np.maximum(length - k, 0)  # appended bases
+
+    twin = np.arange(n, dtype=np.int64)
+    for i in range(n):
+        if bals[i] == 1:
+            twin[i] = i + 1
+        elif bals[i] == -1:
+            twin[i] = i - 1
+
+    # .newContigIndex: re-sort by full length asc, old index asc
+    order = np.argsort(length, kind="stable")
+    new_of = np.zeros(n, np.int64)
+    for newi, old in enumerate(order):
+        new_of[old] = newi + 1
+    with open(prefix + ".newContigIndex", "w") as fh:
+        for old in range(n):
+            bal_edge = bals[old] + 1
+            fh.write(f"{old + 1} {new_of[old]} {bal_edge}\n")
+
+    # contig sequences (only reps are printed in .contig)
+    seqs = [""] * n
+    cur_id = None
+    try:
+        with open(prefix + ".contig") as fh:
+            buf: List[str] = []
+            for line in fh:
+                if line.startswith(">"):
+                    if cur_id is not None:
+                        seqs[cur_id] = "".join(buf)
+                    cur_id = int(line.split()[0][1:]) - 1
+                    buf = []
+                else:
+                    buf.append(line.strip())
+            if cur_id is not None:
+                seqs[cur_id] = "".join(buf)
+    except FileNotFoundError:
+        pass
+    for i in range(n):
+        if not seqs[i] and 0 <= twin[i] < n and seqs[int(twin[i])]:
+            seqs[i] = "".join(
+                _COMP[c] for c in reversed(seqs[int(twin[i])]))
+
+    c_cap = dictionary.round_up(max(n, 1))
+    pool_parts, seq_off = [], np.zeros(c_cap, np.int32)
+    off = 0
+    for i in range(n):
+        seq_off[i] = off
+        tail = seqs[i][k:] if len(seqs[i]) >= k else ""
+        pool_parts.append(tail)
+        off += len(tail)
+    pool = "".join(pool_parts)
+    s_cap = dictionary.round_up(max(len(pool), 1))
+    pool_arr = np.zeros(s_cap, np.uint8)
+    if pool:
+        pool_arr[: len(pool)] = bits._CHAR2CODE[
+            np.frombuffer(pool.encode(), np.uint8)]
+
+    # the K-base prefix of each contig comes from its own mini "table":
+    # store each contig's first kmer as a table row (canonical) and set
+    # from_node to reference it with the right orientation.
+    w = bits.words_for_k(k)
+    keys = np.full((c_cap, w), 0xFFFFFFFF, np.uint32)
+    from_node = np.full(c_cap, -1, np.int32)
+    code = {"A": 0, "C": 1, "T": 2, "G": 3}
+    for i in range(n):
+        s = seqs[i]
+        if len(s) < k:
+            continue
+        v = 0
+        for ch in s[:k]:
+            v = (v << 2) | code.get(ch, 0)
+        rc = _revcomp_int(v, k)
+        can = min(v, rc)
+        keys[i] = _int_to_lanes(can, w)
+        from_node[i] = 2 * i + (0 if v == can else 1)
+
+    table = dictionary.KmerTable(
+        jnp.asarray(keys), jnp.zeros(c_cap, jnp.int32),
+        jnp.zeros((c_cap, 4), jnp.int32), jnp.zeros((c_cap, 4), jnp.int32),
+        jnp.int32(n), jnp.zeros(c_cap, bool))
+
+    fr, to, mu = [], [], []
+    try:
+        fh = open(prefix + ".Arc")
+    except FileNotFoundError:
+        fh = None
+    if fh is not None:
+        with fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                fe = int(parts[0]) - 1
+                for i in range(1, len(parts) - 1, 2):
+                    fr.append(fe)
+                    to.append(int(parts[i]) - 1)
+                    mu.append(int(parts[i + 1]))
+    a_cap = dictionary.round_up(max(len(fr), 1))
+
+    def pad_a(a):
+        out = np.zeros(a_cap, np.int32)
+        out[: len(a)] = a
+        return jnp.asarray(out)
+
+    aset = arcs_mod.ArcSet(pad_a(fr), pad_a(to), pad_a(mu),
+                           jnp.int32(len(fr)))
+
+    def pad(a, fill, dtype=np.int32):
+        out = np.full(c_cap, fill, dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    ctg = contig_merge.Contigs(
+        jnp.asarray(from_node), pad(np.full(n, -1), -1),
+        pad(app_len, 0), pad(cvgs, 0), pad(twin, -1),
+        jnp.asarray(seq_off), jnp.asarray(pool_arr), jnp.int32(n),
+        jnp.full(1, -1, np.int32), aset)
+    return ctg, table, k

@@ -61,6 +61,13 @@ class ReadPlacements(NamedTuple):
     g_read_off: jnp.ndarray  # (G,) int32 1-based read offset of that kmer
     g_align: jnp.ndarray   # (G,) int32 number of agreeing kmers
     g_valid: jnp.ndarray   # (G,) bool
+    # raw (index-stored, twin-pair representative) coordinates for the
+    # reference file contracts (.ctg2Read/.readOnContig/.readInformation
+    # use the unresolved contig id + an orientation char,
+    # prlRead2Ctg.c:530-614):
+    g_raw_ctg: jnp.ndarray  # (G,) int32 rep contig row
+    g_raw_off: jnp.ndarray  # (G,) int32 kmer offset in rep orientation
+    g_same: jnp.ndarray     # (G,) bool  '+' (True) / '-' (False)
 
 
 def contig_code_matrix(ctg: contig_merge.Contigs, table, k: int):
@@ -209,20 +216,26 @@ def map_reads(seqs, lengths, index: ContigIndex, k: int,
                       ctg_len_g - g_kpos - k - i1 + 1)
     o_off = jnp.where(same, g_kpos, ctg_len_g - g_kpos - k)
 
-    # best group per read: max votes among qualifying
-    score = jnp.where(qual, votes, -1)
+    # best group per read: max votes among qualifying; ties go to the
+    # group first encountered in the read (reference parse1read keeps
+    # the earliest `flag > maxOcc` winner, prlRead2Ctg.c:285-290)
+    p2 = 1 << int(p).bit_length()
+    score = jnp.where(qual, votes * (2 * p2) + (p2 - 1 - g_minw), -1)
     best = jnp.argmax(score, axis=1)
     has = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0] > 0
     take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
     ctg_best = jnp.where(has, take(o_ctg), -1)
     pos_best = jnp.where(has, take(o_pos), 0)
     rev_best = jnp.where(has, ~take(same), False)
-    n_qual = jnp.sum(qual.astype(jnp.int32), axis=1)
-    footprint = n_qual >= 2
+    # footprint: >= 2 contigs hit by >= 2 kmers each (counter2,
+    # prlRead2Ctg.c:277-300) — gap-spanning candidates
+    n_ge2 = jnp.sum((glive & (votes >= 2)).astype(jnp.int32), axis=1)
+    footprint = n_ge2 >= 2
 
     rid = jnp.broadcast_to(
         jnp.arange(r, dtype=jnp.int32)[:, None], (r, p))
     return ReadPlacements(
         ctg_best, pos_best, rev_best, footprint,
         rid.reshape(-1), o_ctg.reshape(-1), o_off.reshape(-1),
-        i1.reshape(-1), votes.reshape(-1), qual.reshape(-1))
+        i1.reshape(-1), votes.reshape(-1), qual.reshape(-1),
+        g_ctg_raw.reshape(-1), g_kpos.reshape(-1), same.reshape(-1))
