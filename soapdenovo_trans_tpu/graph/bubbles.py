@@ -149,10 +149,25 @@ def _pinch_device(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
 
 def bubble_pinch(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
                  table, k: int, merge_level: int):
-    """Iterate pinching to fixpoint (the reference's tourBus loop
-    revisits until no merges remain, bubble.c:2123)."""
+    """Full Tour-Bus when the native pass is available (multi-node
+    paths, MAXNODELENGTH 3/9/30 by -M, NW identity — bubble.c
+    semantics; see csrc/tourbus.cpp); otherwise the vectorized
+    parallel-edge pinch below (SNP/error bubbles only)."""
     if merge_level <= 0:
         return eg, aset
+    from . import tourbus
+    if tourbus.available():
+        eg, aset, stats = tourbus.pinch(eg, aset, k, merge_level)
+        print(f"[bubbles] tourbus: {stats['backtracked']} pairs found, "
+              f"{stats['compared']} compared, {stats['merged']} merged")
+        return eg, aset
+    return _parallel_edge_pinch(eg, aset, table, k, merge_level)
+
+
+def _parallel_edge_pinch(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
+                         table, k: int, merge_level: int):
+    """Iterate pinching to fixpoint (the reference's tourBus loop
+    revisits until no merges remain, bubble.c:2123)."""
     diff = _diff_for(merge_level)
     total = 0
     for _ in range(8):

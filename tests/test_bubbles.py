@@ -100,3 +100,65 @@ def test_pinch_in_contig_stage(rng):
     ctg = contig_stage.run_contig(eg, aset, K, params, table=table)
     seqs = contig_merge.contig_sequences(ctg, table, K)
     assert sorted(seqs) == sorted([t, bits.revcomp_str(t)])
+
+
+def _multinode_bubble_reads(rng, n_maj=9, n_min=3):
+    """A bubble whose majority branch is split into TWO edges by a
+    side spur — only a multi-node-path Tour-Bus (comparePaths walking
+    previous[] chains, bubble.c:1766) can pinch it; the parallel-edge
+    fast path cannot (different from-nodes)."""
+    t = unique_kmer_seq(rng, 260)
+    p, m, s = t[:100], t[100:160], t[160:]
+    # minority: one SNP in the middle of m
+    v = p + snp_variant(m, 30)[0:60] + s
+    # spur: shares a K-window INSIDE the bubble's differing region
+    # (windows covering m[30] start at m[16..30]) then diverges,
+    # splitting the majority branch into two edges at the junction
+    spur = m[17:17 + K] + unique_kmer_seq(rng, 40)
+    reads = [t] * n_maj + [v] * n_min + [spur] * 5
+    return t, v, spur, reads
+
+
+def test_multinode_bubble_merged():
+    rng = np.random.default_rng(7)
+    t, v, spur, reads = _multinode_bubble_reads(rng)
+    table, eg, aset = build(reads)
+    from soapdenovo_trans_tpu.graph import tourbus
+    if not tourbus.available():
+        pytest.skip("native tourbus unavailable")
+    eg2, aset2, stats = tourbus.pinch(eg, aset, K, 1)
+    assert stats["merged"] >= 1, stats
+    # minority branch gone: concatenating yields the majority
+    # transcript (with the spur still attached as a tip)
+    ctg = contig_merge.concatenate(eg2, aset2)
+    seqs = contig_merge.contig_sequences(ctg, table, K)
+    canon = {min(x, bits.revcomp_str(x)) for x in seqs}
+    assert not any(
+        v[95:175] in x or bits.revcomp_str(v[95:175]) in x for x in canon
+    ), "minority branch survived"
+
+
+def test_multinode_bubble_maxnodelength():
+    rng = np.random.default_rng(11)
+    """MAXNODELENGTH bounds the backtrack: a minority path needing a
+    >MAXNODELENGTH walk on the majority side is not pinched at -M 1
+    (limit 3) ... the majority branch is split into 4+ edges by spurs."""
+    t = unique_kmer_seq(rng, 400)
+    p, m, s = t[:100], t[100:300], t[300:]
+    v = p + snp_variant(snp_variant(m, 60), 140) + s
+    # spurs inside the differing region (between the two SNPs),
+    # splitting the majority branch into 5+ edges
+    spurs = [m[off:off + K] + unique_kmer_seq(rng, 40)
+             for off in (62, 80, 100, 120)]
+    reads = [t] * 9 + [v] * 3
+    for sp in spurs:
+        reads += [sp] * 5
+    table, eg, aset = build(reads)
+    from soapdenovo_trans_tpu.graph import tourbus
+    if not tourbus.available():
+        pytest.skip("native tourbus unavailable")
+    # majority middle now 5 edges; slow path (2 edges after its own
+    # split? no spurs on it -> 1 edge) needs fast walk of 5 > 3
+    eg1, a1, st1 = tourbus.pinch(eg, aset, K, 1)
+    eg3, a3, st3 = tourbus.pinch(eg, aset, K, 3)
+    assert st3["merged"] >= st1["merged"]
