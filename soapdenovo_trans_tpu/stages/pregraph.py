@@ -34,8 +34,41 @@ class PregraphResult:
     k: int
 
 
+class _MergeForest:
+    """Logarithmic streaming accumulation of per-batch tables.
+
+    A linear ``merge(acc, batch)`` re-sorts the whole accumulator every
+    batch — quadratic in batch count.  Binary-counter merging (LSM
+    style) keeps one table per size class and merges equal-rank tables,
+    so each row is re-sorted O(log n_batches) times total."""
+
+    def __init__(self):
+        self.levels: list = []
+
+    def insert(self, t: dictionary.KmerTable) -> None:
+        i = 0
+        while True:
+            if i == len(self.levels):
+                self.levels.append(t)
+                return
+            if self.levels[i] is None:
+                self.levels[i] = t
+                return
+            t = dictionary.merge(self.levels[i], t)
+            self.levels[i] = None
+            i += 1
+
+    def finish(self) -> Optional[dictionary.KmerTable]:
+        out: Optional[dictionary.KmerTable] = None
+        for t in self.levels:
+            if t is None:
+                continue
+            out = t if out is None else dictionary.merge(out, t)
+        return out
+
+
 def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
-    """Pass 1: k-mer counting with per-batch build + merge
+    """Pass 1: k-mer counting with per-batch build + hierarchical merge
     (reference prlRead2HashTable's batch loop, prlHashReads.c:338).
 
     With a mesh, batches are data-parallel over devices and the k-mer
@@ -44,13 +77,13 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     host table for the (currently single-device) graph passes."""
     if mesh is not None:
         return _count_reads_sharded(batches, k, mesh)
-    table: Optional[dictionary.KmerTable] = None
+    forest = _MergeForest()
     n_reads = 0
     for codes, lengths, _lib in batches:
         stream = kmer.chop_reads(jnp.asarray(codes), jnp.asarray(lengths), k)
-        t = dictionary.build(stream)
-        table = t if table is None else dictionary.merge(table, t)
+        forest.insert(dictionary.build(stream))
         n_reads += int((np.asarray(lengths) > 0).sum())
+    table = forest.finish()
     if table is None:
         raise ValueError("no reads")
     return table
@@ -64,7 +97,7 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
     d = mesh.shape[sharded_count.AXIS]
     sh2 = NamedSharding(mesh, P(sharded_count.AXIS, None))
     sh1 = NamedSharding(mesh, P(sharded_count.AXIS))
-    table: Optional[dictionary.KmerTable] = None
+    forest = _MergeForest()
     runners = {}
     for codes, lengths, _lib in batches:
         r, l = codes.shape
@@ -96,8 +129,8 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
                   f"— retrying with bucket_cap={cap}")
             runners[key] = (sharded_count.make_sharded_counter(
                 mesh, k, r // d, l, bucket_cap=cap), cap)
-        t = sharded_count.gather_to_table(st)
-        table = t if table is None else dictionary.merge(table, t)
+        forest.insert(sharded_count.gather_to_table(st))
+    table = forest.finish()
     if table is None:
         raise ValueError("no reads")
     return table
