@@ -61,6 +61,10 @@ def available() -> bool:
     return _load() is not None
 
 
+def _round_up(x: int, m: int = 128) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def pinch(eg, aset, k: int, merge_level: int
           ) -> Tuple[object, object, dict]:
     """Run the native Tour-Bus on an EdgeGraph + ArcSet; returns
@@ -107,14 +111,13 @@ def pinch(eg, aset, k: int, merge_level: int
         cap *= 2
 
     m = int(out)
-    e_cap = eg.length.shape[0]
     new_deleted = np.asarray(eg.deleted, bool).copy()
     new_deleted[:n] = dele.astype(bool)
     new_cvg = np.asarray(eg.cvg, np.int32).copy()
     new_cvg[:n] = cvg2
     eg2 = eg._replace(
         cvg=jnp.asarray(new_cvg), deleted=jnp.asarray(new_deleted))
-    a_cap = max(arcs_mod_round(m), 128)
+    a_cap = max(_round_up(m), 128)
     f2 = np.full(a_cap, -1, np.int32)
     t2 = np.full(a_cap, -1, np.int32)
     m2 = np.zeros(a_cap, np.int32)
@@ -125,7 +128,3 @@ def pinch(eg, aset, k: int, merge_level: int
              "compared": int(counters[1]),
              "merged": int(counters[2])}
     return eg2, aset2, stats
-
-
-def arcs_mod_round(x: int, m: int = 128) -> int:
-    return ((x + m - 1) // m) * m

@@ -139,17 +139,25 @@ def test_multinode_bubble_merged():
 
 
 def test_multinode_bubble_maxnodelength():
-    rng = np.random.default_rng(11)
     """MAXNODELENGTH bounds the backtrack: a minority path needing a
     >MAXNODELENGTH walk on the majority side is not pinched at -M 1
-    (limit 3) ... the majority branch is split into 4+ edges by spurs."""
+    (limit 3) but is at -M 3 (limit 30) — the majority branch is
+    split into 5+ edges by spurs (bubble.c:2072-2086 semantics)."""
+    rng = np.random.default_rng(11)
     t = unique_kmer_seq(rng, 400)
     p, m, s = t[:100], t[100:300], t[300:]
-    v = p + snp_variant(snp_variant(m, 60), 140) + s
-    # spurs inside the differing region (between the two SNPs),
-    # splitting the majority branch into 5+ edges
+    # SNPs < K apart chain the differing k-mer windows into ONE
+    # contiguous bubble region (m[46..105)) -> a single bubble, not
+    # a cascade of independent one-node bubbles
+    v_m = m
+    for pos in (60, 70, 80, 90):
+        v_m = snp_variant(v_m, pos)
+    v = p + v_m + s
+    # spurs whose K-window contains a SNP share sequence with the
+    # MAJORITY branch only -> each junction splits the majority
+    # branch (minority stays one edge); 4 junctions -> 5 edges
     spurs = [m[off:off + K] + unique_kmer_seq(rng, 40)
-             for off in (62, 80, 100, 120)]
+             for off in (48, 58, 68, 78)]
     reads = [t] * 9 + [v] * 3
     for sp in spurs:
         reads += [sp] * 5
@@ -161,4 +169,7 @@ def test_multinode_bubble_maxnodelength():
     # split? no spurs on it -> 1 edge) needs fast walk of 5 > 3
     eg1, a1, st1 = tourbus.pinch(eg, aset, K, 1)
     eg3, a3, st3 = tourbus.pinch(eg, aset, K, 3)
-    assert st3["merged"] >= st1["merged"]
+    # -M 1 (MAXNODELENGTH 3) must refuse the >3-node majority walk;
+    # -M 3 (MAXNODELENGTH 30) must accept and pinch the bubble.
+    assert st1["merged"] == 0, st1
+    assert st3["merged"] >= 1, st3
