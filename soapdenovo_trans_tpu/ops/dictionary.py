@@ -5,18 +5,28 @@ src/inc/newhash.h:65-88).  An open-addressing table is the wrong shape
 for a vector machine — random scatter with probe chains serializes.
 Instead:
 
-* build  = radix-style ``jax.lax.sort`` over the W uint32 key lanes
-  (lexicographic == numeric order, see ops/bits.py) + boundary
-  detection + ``segment_sum`` for count / per-base left-right coverage
-  (the reference's l_links/r_links 4x6-bit counters,
-  src/inc/newhash.h:38-53, capped at MAX_KMER_COV=63).
+* the streaming unit is a PACKED ROW: ``key<<7 | 1<<6 | prev<<3 | next``
+  in ``ceil((2K+7)/32)`` uint32 lanes (2 lanes for the default K=23) —
+  the k-mer plus its left/right base context in one sortable integer.
+* build  = one ``jax.lax.sort`` over the packed lanes + equal-row
+  dedup, with per-row multiplicities read off sorted positions
+  (no prefix scans, no gathers).  Batches accumulate by LSM-style
+  ``merge_packed`` (concat + slim sort + segment-add).
+* finalize = ONE pass at the end of counting splits each key's context
+  rows into the reference's l_links/r_links per-base coverage counters
+  (src/inc/newhash.h:38-53, saturating at MAX_KMER_COV=63) and the
+  occurrence count.  Deferring this split keeps the hot per-batch sorts
+  at <=4 operands; it is also exact — the reference saturates each
+  6-bit counter incrementally, which equals summing exactly and
+  capping once.
 * lookup = branchless vectorized binary search over the sorted keys
-  (32 fixed bisection steps), thousands of probes in flight per lane —
+  (or a gather-free sort-merge join for large query sets) —
   the analogue of search_kmerset (src/newhash.c:239-283).
 
-Both are single fused XLA programs; there is no rehash/growth (the
-reference's encap_kmerset) because the sorted build sizes itself.
-Invalid/masked rows sort to the end via an all-ones sentinel key.
+There is no rehash/growth (the reference's encap_kmerset) because the
+sorted build sizes itself.  Invalid/masked rows sort to the end via an
+all-ones sentinel row; real rows always have at least one zero high
+bit (2K+7 < 32*WP), so no real row ever equals the sentinel.
 """
 
 from __future__ import annotations
@@ -70,13 +80,18 @@ def round_up(x: int, m: int = 128) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_stream(keys, prev, nxt, valid):
+def pack_stream(keys, prev, nxt, valid, k: int | None = None):
     """Fold the 7-bit per-kmer payload (valid:1, prev:3, next:3) into
     spare low bits of a widened key -> (n, WP) uint32 rows.  Invalid
     rows become all-ones sentinels.  One packed row is the unit the
-    counting sorts and collectives move."""
+    counting sorts and collectives move.
+
+    With ``k`` given, the row is packed tight: WP = ceil((2K+7)/32)
+    lanes — 2 for the default K=23 instead of 3, which is most of a
+    sort pass saved per batch.  Without ``k`` the conservative
+    full-key width is used."""
     w = keys.shape[-1]
-    wp = packed_width(w)
+    wp = packed_width_k(k) if k is not None else packed_width(w)
     payload = (valid.astype(jnp.uint32) << 6) \
         | (prev.astype(jnp.uint32) << 3) | nxt.astype(jnp.uint32)
     packed = bits.shl_const(bits.widen(keys, wp), 7)
@@ -88,107 +103,199 @@ def packed_width(w: int) -> int:
     return (32 * w + 7 + 31) // 32  # lanes for key<<7 | payload
 
 
-def reduce_packed(packed, w: int):
-    """Sort + segment-reduce a packed k-mer stream (see pack_stream).
-    Returns full-length (padded) arrays plus the unique-entry count.
+def packed_width_k(k: int) -> int:
+    """Tight packed-row width for K: lanes for 2K key bits + 7 payload
+    bits.  Always >= words_for_k(k), and always leaves at least one
+    zero high bit in real rows (2K+7 is odd, 32*WP even), so the
+    all-ones sentinel is unambiguous."""
+    return (2 * k + 7 + 31) // 32
 
-    Perf notes (measured on v5e at 10M rows):
-    * the main sort moves 2-3 packed uint32 operands instead of W
-      keys + 3 payload columns;
-    * everything after the sort is gather- and scatter-free.  A 10M
-      random/monotonic gather costs 280-420ms on TPU while a 1-key
-      sort carrying ten payload operands costs ~65ms, so per-segment
-      reductions use the "last-row compaction" pattern: inclusive
-      prefix sums + one payload sort that moves each segment's LAST
-      row (whose prefix rows are the segment's cumulative totals) to
-      the front, where adjacent differences give the per-segment
-      sums."""
+
+def unpack_rows(rows: jnp.ndarray, k: int):
+    """Packed rows -> (keys (n, W), prev (n,), next (n,), valid (n,))."""
+    w = bits.words_for_k(k)
+    wp = rows.shape[-1]
+    last = rows[..., -1]
+    keys = bits._shr_const(rows, 7)[..., wp - w:]
+    sentinel = jnp.all(rows == jnp.uint32(0xFFFFFFFF), axis=-1)
+    valid = ((last >> 6) & 1).astype(bool) & ~sentinel
+    prev = ((last >> 3) & 7).astype(jnp.uint8)
+    nxt = (last & 7).astype(jnp.uint8)
+    return keys, prev, nxt, valid
+
+
+class PackedTable(NamedTuple):
+    """Deduplicated (k-mer, context) rows — the accumulation format.
+
+    Rows [0, n) are distinct packed rows (see pack_stream) in ascending
+    order with their multiplicities; rows [n, cap) are all-ones
+    sentinels.  This is what batches build and LSM merges combine;
+    ``finalize`` turns the accumulated PackedTable into a KmerTable
+    once per counting phase.
+    """
+
+    rows: jnp.ndarray   # (cap, WP) uint32, ascending; sentinel-padded
+    count: jnp.ndarray  # (cap,) int32 multiplicity of each distinct row
+    n: jnp.ndarray      # () int32 number of real rows
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+
+def _reduce_rows(packed):
+    """Sort packed rows + dedup equal full rows; multiplicity is read
+    off sorted positions (valid rows sort before the sentinel block,
+    so the inclusive valid-row count at index i is just i+1) — two
+    slim sorts, no prefix scans, no gathers."""
     n, wp = packed.shape
-
-    res = jax.lax.sort(
-        tuple(packed[:, i] for i in range(wp)), num_keys=wp)
-    spacked = jnp.stack(res, axis=-1)
-    sp = spacked[:, -1]
-    svalid = ((sp >> 6) & 1).astype(bool) & \
-        ~jnp.all(spacked == jnp.uint32(0xFFFFFFFF), axis=-1)
-    sprev = ((sp >> 3) & 7).astype(jnp.uint8)
-    snxt = (sp & 7).astype(jnp.uint8)
-    skeys = bits._shr_const(spacked, 7)[:, wp - w:]
-
-    # last[i]: i is the final (valid) row of its key segment.  Valid
-    # rows sort before the sentinel block, so segments are contiguous
-    # prefixes of the array.
+    res = jax.lax.sort(tuple(packed[:, i] for i in range(wp)), num_keys=wp)
+    srows = jnp.stack(res, axis=-1)
+    svalid = ~jnp.all(srows == jnp.uint32(0xFFFFFFFF), axis=-1)
     diff = jnp.concatenate(
-        [jnp.any(skeys[1:] != skeys[:-1], axis=-1),
-         jnp.ones((1,), bool)])
+        [jnp.any(srows[1:] != srows[:-1], axis=-1), jnp.ones((1,), bool)])
     last = diff & svalid
     num_unique = jnp.sum(last.astype(jnp.int32))
-
-    ones = svalid.astype(jnp.int32)
-    onehot = jnp.concatenate(
-        [jnp.stack([ones * (sprev == b) for b in range(4)], axis=-1),
-         jnp.stack([ones * (snxt == b) for b in range(4)], axis=-1)],
-        axis=-1)  # (n, 8)
-    cov_incl = jnp.cumsum(onehot, axis=0)  # inclusive prefix per base
-
-    # Compaction: move each segment's last row (key lanes + inclusive
-    # prefix rows) to the front, in key order, with one payload sort.
     idx = jnp.arange(n, dtype=jnp.int32)
     lkey = jnp.where(last, idx, n)
     res2 = jax.lax.sort(
-        (lkey,) + tuple(skeys[:, i] for i in range(w))
-        + tuple(cov_incl[:, j] for j in range(8)), num_keys=1)
+        (lkey,) + tuple(srows[:, i] for i in range(wp)), num_keys=1)
     lidx = res2[0]
     live = lidx < n
-    uniq_keys = jnp.where(
-        live[:, None], jnp.stack(res2[1 : 1 + w], axis=-1),
-        jnp.uint32(0xFFFFFFFF))
-    cov_end = jnp.stack(res2[1 + w:], axis=-1)  # (n, 8) cumulative
-    cov_prev = jnp.concatenate(
-        [jnp.zeros((1, 8), jnp.int32), cov_end[:-1]])
-    cov = jnp.where(live[:, None], cov_end - cov_prev, 0)
-    # count: valid rows sort first, so the count of valid rows up to
-    # and including row i is i+1 — no prefix sum needed.
+    rows_c = jnp.where(live[:, None], jnp.stack(res2[1:], axis=-1),
+                       jnp.uint32(0xFFFFFFFF))
     incl = jnp.where(live, lidx + 1, 0)
     count = jnp.maximum(
         incl - jnp.concatenate([jnp.zeros((1,), jnp.int32), incl[:-1]]), 0)
-    return uniq_keys, count, cov[:, :4], cov[:, 4:], num_unique
+    return rows_c, count, num_unique
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _build_device(keys, prev, nxt, valid):
-    """Sort + segment-reduce one k-mer stream (pack + reduce)."""
-    w = keys.shape[-1]
-    return reduce_packed(pack_stream(keys, prev, nxt, valid), w)
+@functools.partial(jax.jit, static_argnums=(4,))
+def _build_packed_device(keys, prev, nxt, valid, k):
+    return _reduce_rows(pack_stream(keys, prev, nxt, valid, k))
 
 
-def build(stream, cap: int | None = None) -> KmerTable:
-    """Build a KmerTable from a KmerStream (host-orchestrated sizing).
+def _fit_packed(rows, count, n: int, cap: int) -> PackedTable:
+    wp = rows.shape[-1]
+    if cap <= rows.shape[0]:
+        rows, count = rows[:cap], count[:cap]
+    else:
+        pad = cap - rows.shape[0]
+        rows = jnp.concatenate([rows, _sentinel_rows(pad, wp)])
+        count = jnp.concatenate([count, jnp.zeros(pad, jnp.int32)])
+    return PackedTable(rows, count, jnp.int32(n))
 
-    The device pass computes unique keys/counts at full stream length;
-    the host then reads the unique count and slices to a 128-aligned
-    capacity — mirroring how the reference sizes its table from the
-    data (newhash.c:411-462) but without incremental rehash.
-    """
-    uniq_keys, count, l_cov, r_cov, num_unique = _build_device(
-        stream.kmers, stream.prev, stream.next, stream.valid
-    )
+
+def build_packed(stream, k: int, cap: int | None = None) -> PackedTable:
+    """One batch of the streaming build: KmerStream -> PackedTable.
+
+    The per-batch analogue of put_kmerset's insert loop
+    (src/newhash.c:411-462); host-side sizing to a 128-aligned
+    capacity, like the reference sizing its table from the data."""
+    rows, count, num_unique = _build_packed_device(
+        stream.kmers, stream.prev, stream.next, stream.valid, k)
+    n = int(num_unique)
+    return _fit_packed(rows, count, n, cap or round_up(max(n, 1)))
+
+
+@jax.jit
+def _merge_packed_device(rows, count):
+    n_tot, wp = rows.shape
+    res = jax.lax.sort(
+        tuple(rows[:, i] for i in range(wp)) + (count,), num_keys=wp)
+    srows = jnp.stack(res[:wp], axis=-1)
+    scount = res[wp]
+    svalid = ~jnp.all(srows == jnp.uint32(0xFFFFFFFF), axis=-1)
+    diff = jnp.concatenate(
+        [jnp.any(srows[1:] != srows[:-1], axis=-1), jnp.ones((1,), bool)])
+    last = diff & svalid
+    num_unique = jnp.sum(last.astype(jnp.int32))
+    incl = jnp.cumsum(jnp.where(svalid, scount, 0))
+    idx = jnp.arange(n_tot, dtype=jnp.int32)
+    lkey = jnp.where(last, idx, n_tot)
+    res2 = jax.lax.sort(
+        (lkey,) + tuple(srows[:, i] for i in range(wp)) + (incl,),
+        num_keys=1)
+    live = res2[0] < n_tot
+    rows_c = jnp.where(live[:, None], jnp.stack(res2[1:1 + wp], axis=-1),
+                       jnp.uint32(0xFFFFFFFF))
+    c_end = res2[1 + wp]
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_end[:-1]])
+    count_c = jnp.where(live, c_end - c_prev, 0)
+    return rows_c, count_c, num_unique
+
+
+def merge_packed(a: PackedTable, b: PackedTable) -> PackedTable:
+    """LSM combine of two PackedTables: concat + slim sort +
+    segment-add multiplicities (WP+1 sort operands total)."""
+    rows = jnp.concatenate([a.rows, b.rows])
+    count = jnp.concatenate([a.count, b.count])
+    rows_c, count_c, num_unique = _merge_packed_device(rows, count)
+    n = int(num_unique)
+    return _fit_packed(rows_c, count_c, n, round_up(max(n, 1)))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _finalize_device(rows, count, k):
+    """Split context rows into per-key count + l/r per-base coverage.
+
+    Rows are sorted with the key in the high bits, so each key's
+    context rows are contiguous; the 8 coverage counters are exact
+    sums of row multiplicities, capped once at MAX_KMER_COV — equal to
+    the reference's per-increment saturation (newhash.h:38-53)."""
+    n, wp = rows.shape
+    w = bits.words_for_k(k)
+    keys = bits._shr_const(rows, 7)[:, wp - w:]
+    last_lane = rows[:, -1]
+    svalid = ~jnp.all(rows == jnp.uint32(0xFFFFFFFF), axis=-1)
+    prev = ((last_lane >> 3) & 7).astype(jnp.int32)
+    nxt = (last_lane & 7).astype(jnp.int32)
+    keydiff = jnp.concatenate(
+        [jnp.any(keys[1:] != keys[:-1], axis=-1), jnp.ones((1,), bool)])
+    last = keydiff & svalid
+    num_unique = jnp.sum(last.astype(jnp.int32))
+    cnt = jnp.where(svalid, count, 0)
+    onehot = jnp.concatenate(
+        [jnp.stack([cnt * (prev == b) for b in range(4)], axis=-1),
+         jnp.stack([cnt * (nxt == b) for b in range(4)], axis=-1)],
+        axis=-1)  # (n, 8)
+    incl = jnp.cumsum(onehot, axis=0)
+    incl_c = jnp.cumsum(cnt)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lkey = jnp.where(last, idx, n)
+    res2 = jax.lax.sort(
+        (lkey,) + tuple(keys[:, i] for i in range(w))
+        + tuple(incl[:, j] for j in range(8)) + (incl_c,), num_keys=1)
+    live = res2[0] < n
+    uniq_keys = jnp.where(
+        live[:, None], jnp.stack(res2[1:1 + w], axis=-1),
+        jnp.uint32(0xFFFFFFFF))
+    cov_end = jnp.stack(res2[1 + w:9 + w], axis=-1)
+    cov_prev = jnp.concatenate([jnp.zeros((1, 8), jnp.int32), cov_end[:-1]])
+    cov = jnp.where(live[:, None], cov_end - cov_prev, 0)
+    c_end = res2[9 + w]
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_end[:-1]])
+    count_u = jnp.where(live, c_end - c_prev, 0)
+    return uniq_keys, count_u, cov[:, :4], cov[:, 4:], num_unique
+
+
+def finalize(pt: PackedTable, k: int, cap: int | None = None) -> KmerTable:
+    """Accumulated PackedTable -> KmerTable (once per counting phase)."""
+    uniq_keys, count, l_cov, r_cov, num_unique = _finalize_device(
+        pt.rows, pt.count, k)
     n = int(num_unique)
     cap = cap or round_up(max(n, 1))
     w = uniq_keys.shape[-1]
     if cap <= uniq_keys.shape[0]:
-        keys = uniq_keys[:cap]
-        count = count[:cap]
-        l_cov = l_cov[:cap]
-        r_cov = r_cov[:cap]
+        keys, count = uniq_keys[:cap], count[:cap]
+        l_cov, r_cov = l_cov[:cap], r_cov[:cap]
     else:
         pad = cap - uniq_keys.shape[0]
         keys = jnp.concatenate([uniq_keys, _sentinel_rows(pad, w)])
         count = jnp.concatenate([count, jnp.zeros(pad, jnp.int32)])
         l_cov = jnp.concatenate([l_cov, jnp.zeros((pad, 4), jnp.int32)])
         r_cov = jnp.concatenate([r_cov, jnp.zeros((pad, 4), jnp.int32)])
-    row = jnp.arange(cap)
-    live = row < n
+    live = jnp.arange(cap) < n
     count = jnp.where(live, count, 0)
     l_cov = jnp.clip(jnp.where(live[:, None], l_cov, 0), 0, MAX_KMER_COV)
     r_cov = jnp.clip(jnp.where(live[:, None], r_cov, 0), 0, MAX_KMER_COV)
@@ -196,67 +303,10 @@ def build(stream, cap: int | None = None) -> KmerTable:
                      jnp.zeros(cap, bool))
 
 
-@jax.jit
-def _merge_device(keys, count, l_cov, r_cov):
-    """Concat-sorted segment reduction, gather/scatter-free (same
-    last-row compaction pattern as _build_device)."""
-    n_tot, w = keys.shape
-    vals = jnp.concatenate([count[:, None], l_cov, r_cov], axis=-1)
-    res = jax.lax.sort(
-        tuple(keys[:, i] for i in range(w))
-        + tuple(vals[:, j] for j in range(9)), num_keys=w)
-    skeys = jnp.stack(res[:w], axis=-1)
-    svals = jnp.stack(res[w:], axis=-1)
-    svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=-1)
-    diff = jnp.concatenate(
-        [jnp.any(skeys[1:] != skeys[:-1], axis=-1),
-         jnp.ones((1,), bool)])
-    last = diff & svalid
-    num_unique = jnp.sum(last.astype(jnp.int32))
-
-    incl = jnp.cumsum(jnp.where(svalid[:, None], svals, 0), axis=0)
-    idx = jnp.arange(n_tot, dtype=jnp.int32)
-    lkey = jnp.where(last, idx, n_tot)
-    res2 = jax.lax.sort(
-        (lkey,) + tuple(skeys[:, i] for i in range(w))
-        + tuple(incl[:, j] for j in range(9)), num_keys=1)
-    live = res2[0] < n_tot
-    uniq_keys = jnp.where(
-        live[:, None], jnp.stack(res2[1 : 1 + w], axis=-1),
-        jnp.uint32(0xFFFFFFFF))
-    v_end = jnp.stack(res2[1 + w:], axis=-1)
-    v_prev = jnp.concatenate([jnp.zeros((1, 9), jnp.int32), v_end[:-1]])
-    v = jnp.where(live[:, None], v_end - v_prev, 0)
-    return uniq_keys, v[:, 0], v[:, 1:5], v[:, 5:9], num_unique
-
-
-def merge(a: KmerTable, b: KmerTable) -> KmerTable:
-    """Merge two tables (for streamed/batched counting): concat, re-sort,
-    segment-add counts and coverages."""
-    keys = jnp.concatenate([a.keys, b.keys])
-    count = jnp.concatenate([a.count, b.count])
-    l_cov = jnp.concatenate([a.l_cov, b.l_cov])
-    r_cov = jnp.concatenate([a.r_cov, b.r_cov])
-    w = keys.shape[-1]
-    uniq_keys, count_m, l_m, r_m, num_unique = _merge_device(
-        keys, count, l_cov, r_cov)
-    n = int(num_unique)
-    n_tot = uniq_keys.shape[0]
-    cap = round_up(max(n, 1))
-    if cap > n_tot:
-        pad = cap - n_tot
-        uniq_keys = jnp.concatenate([uniq_keys, _sentinel_rows(pad, w)])
-        count_m = jnp.concatenate([count_m, jnp.zeros(pad, jnp.int32)])
-        l_m = jnp.concatenate([l_m, jnp.zeros((pad, 4), jnp.int32)])
-        r_m = jnp.concatenate([r_m, jnp.zeros((pad, 4), jnp.int32)])
-    row = jnp.arange(cap)
-    live = row < n
-    return KmerTable(
-        uniq_keys[:cap],
-        jnp.where(live, count_m[:cap], 0),
-        jnp.clip(jnp.where(live[:, None], l_m[:cap], 0), 0, MAX_KMER_COV),
-        jnp.clip(jnp.where(live[:, None], r_m[:cap], 0), 0, MAX_KMER_COV),
-        jnp.int32(n), jnp.zeros(cap, bool))
+def build(stream, k: int, cap: int | None = None) -> KmerTable:
+    """Single-shot build: KmerStream -> KmerTable (small inputs/tests;
+    the streaming path is build_packed + merge_packed + finalize)."""
+    return finalize(build_packed(stream, k), k, cap=cap)
 
 
 def lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:

@@ -3,20 +3,28 @@
 The scale plan (SURVEY.md §2.7): reads are DATA-parallel over the
 mesh, the k-mer table is SPACE-sharded by key prefix — the TP analog;
 a mouse-scale (~30GB) graph must live in aggregate HBM.  This module
-implements the routed counting step:
+implements the routed counting step AND persistent per-shard
+accumulation:
 
     shard_map over mesh axis "shards":
       1. chop local read batch -> canonical k-mer stream   (local)
       2. owner = top used bits of the canonical key        (local)
       3. bucket stream by owner, pad to a static bucket    (local sort)
-      4. jax.lax.all_to_all routes buckets to owners       (ICI)
-      5. owner sorts + segment-reduces its received k-mers (local)
+      4. jax.lax.all_to_all routes packed rows to owners   (ICI)
+      5. owner sorts + dedups its received rows            (local)
+
+    per-shard LSM merge (merge_sharded, also shard_map) accumulates
+    batch tables INTO the resident shard — the global table never
+    leaves the mesh during counting; coverage splitting happens once
+    at the end (finalize_sharded).
 
 which replaces the reference's "every worker scans the whole shared
 buffer and takes its own" scheme (prlHashReads.c:79-92) with an
-explicit ICI collective.  Prefix sharding keeps each shard's keys a
-contiguous sorted range, so a global lookup is: route query to
-owner (same all_to_all) + local bisection.
+explicit ICI collective, and its per-thread KmerSets with mesh-resident
+sorted shards.  Prefix sharding keeps each shard's keys a contiguous
+sorted range, so a global lookup is: route query to owner (same
+all_to_all split points) + local bisection (lookup_sharded — the
+search_kmerset analog, src/newhash.c:239-283).
 
 Canonical keys skew low (min of value and revcomp); shard boundaries
 are the analytic inverse-CDF split points (see _owner_boundaries), so
@@ -39,15 +47,23 @@ from ..ops import bits, dictionary, kmer
 AXIS = "shards"
 
 
+class ShardedPacked(NamedTuple):
+    """Per-shard deduped (k-mer, context) rows resident on the mesh."""
+
+    rows: jnp.ndarray    # (D, cap, WP) uint32, each shard ascending
+    count: jnp.ndarray   # (D, cap) int32
+    n: jnp.ndarray       # (D,) int32 live rows per shard
+    dropped: jnp.ndarray  # (D,) int32 overflowed records (should be 0)
+
+
 class ShardedTable(NamedTuple):
-    """Per-shard sorted unique k-mers (global order = shard-major)."""
+    """Per-shard finalized k-mer table (global order = shard-major)."""
 
     keys: jnp.ndarray    # (D, cap, W) uint32, each shard ascending
     count: jnp.ndarray   # (D, cap) int32
     l_cov: jnp.ndarray   # (D, cap, 4) int32
     r_cov: jnp.ndarray   # (D, cap, 4) int32
     n: jnp.ndarray       # (D,) int32 live rows per shard
-    dropped: jnp.ndarray  # (D,) int32 overflowed records (should be 0)
 
 
 def _owner_boundaries(k: int, n_shards: int) -> np.ndarray:
@@ -74,12 +90,11 @@ def _owner_boundaries(k: int, n_shards: int) -> np.ndarray:
 def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
     """Build the per-shard counting function for shard_map.
 
-    Returns f(seqs_local, lengths_local) -> shard of ShardedTable.
+    Returns f(seqs_local, lengths_local) -> shard of ShardedPacked.
     Static geometry: bucket_cap per-destination records, out_cap
-    unique rows per shard.
+    deduped rows per shard.
     """
-    w = bits.words_for_k(k)
-    wp = dictionary.packed_width(w)
+    wp = dictionary.packed_width_k(k)
     bounds = _owner_boundaries(k, n_shards)
 
     def step(seqs, lengths):
@@ -98,7 +113,7 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
         # one fused monotonic gather slots each owner run into its
         # fixed-size bucket, and a single all_to_all routes all lanes.
         packed = dictionary.pack_stream(
-            stream.kmers, stream.prev, stream.next, stream.valid)
+            stream.kmers, stream.prev, stream.next, stream.valid, k)
         res = jax.lax.sort(
             (owner,) + tuple(packed[:, i] for i in range(wp)),
             num_keys=1)
@@ -123,10 +138,8 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
             send.reshape(n_shards, bucket_cap, wp), AXIS,
             split_axis=0, concat_axis=0, tiled=False).reshape(-1, wp)
 
-        # local reduce: same gather/scatter-free core as the
-        # single-device build (dictionary.reduce_packed)
-        uniq, count, l_cov, r_cov, n_unique = dictionary.reduce_packed(
-            recv, w)
+        # local dedup: same slim-sort core as the single-device build
+        rows, count, n_unique = dictionary._reduce_rows(recv)
         m = recv.shape[0]
 
         def fit(x, fill):
@@ -139,12 +152,8 @@ def count_step(k: int, n_shards: int, bucket_cap: int, out_cap: int):
 
         live = jnp.arange(out_cap) < n_unique
         return (
-            fit(uniq, 0xFFFFFFFF)[None],
+            fit(rows, 0xFFFFFFFF)[None],
             jnp.where(live, fit(count, 0), 0)[None],
-            jnp.clip(jnp.where(live[:, None], fit(l_cov, 0), 0),
-                     0, dictionary.MAX_KMER_COV)[None],
-            jnp.clip(jnp.where(live[:, None], fit(r_cov, 0), 0),
-                     0, dictionary.MAX_KMER_COV)[None],
             n_unique[None],
             dropped[None],
         )
@@ -158,7 +167,7 @@ def make_sharded_counter(mesh: Mesh, k: int, batch: int, read_len: int,
     """jit-compiled sharded counting step over `mesh` (axis 'shards').
 
     seqs: (D*batch, read_len) uint8, lengths: (D*batch,) — sharded on
-    axis 0.  Returns a ShardedTable.
+    axis 0.  Returns a ShardedPacked (one batch's deduped rows).
     """
     d = mesh.shape[AXIS]
     windows = read_len - k + 1
@@ -171,20 +180,79 @@ def make_sharded_counter(mesh: Mesh, k: int, batch: int, read_len: int,
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None, None),
-                   P(AXIS, None, None), P(AXIS), P(AXIS)))
+        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS), P(AXIS)))
 
     @jax.jit
     def run(seqs, lengths):
-        return ShardedTable(*mapped(seqs, lengths))
+        return ShardedPacked(*mapped(seqs, lengths))
 
     return run
 
 
-def gather_to_table(st: ShardedTable) -> dictionary.KmerTable:
+def make_sharded_merger(mesh: Mesh):
+    """Per-shard LSM merge step: combines two mesh-resident
+    ShardedPacked accumulations WITHOUT gathering — each shard merges
+    its own sorted row range locally (the persistent-residency
+    analogue of put_kmerset updating the thread-local KmerSet,
+    src/newhash.c:411-462)."""
+
+    def shard_merge(ra, ca, rb, cb):
+        rows = jnp.concatenate([ra[0], rb[0]])
+        count = jnp.concatenate([ca[0], cb[0]])
+        rows_c, count_c, n_u = dictionary._merge_packed_device.__wrapped__(
+            rows, count)
+        return rows_c[None], count_c[None], n_u[None]
+
+    mapped = jax.shard_map(
+        shard_merge, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None),
+                  P(AXIS, None, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)))
+
+    @jax.jit
+    def merge(a: ShardedPacked, b: ShardedPacked) -> ShardedPacked:
+        rows, count, n = mapped(a.rows, a.count, b.rows, b.count)
+        return ShardedPacked(rows, count, n, a.dropped + b.dropped)
+
+    return merge
+
+
+def make_sharded_finalizer(mesh: Mesh, k: int):
+    """Per-shard coverage split: mesh-resident ShardedPacked ->
+    ShardedTable, one local finalize per shard."""
+
+    def shard_fin(rows, count):
+        keys, cnt, l_cov, r_cov, n_u = dictionary._finalize_device.__wrapped__(
+            rows[0], count[0], k)
+        cap = keys.shape[0]
+        live = jnp.arange(cap) < n_u
+        cnt = jnp.where(live, cnt, 0)
+        l_cov = jnp.clip(jnp.where(live[:, None], l_cov, 0),
+                         0, dictionary.MAX_KMER_COV)
+        r_cov = jnp.clip(jnp.where(live[:, None], r_cov, 0),
+                         0, dictionary.MAX_KMER_COV)
+        return (keys[None], cnt[None], l_cov[None], r_cov[None], n_u[None])
+
+    mapped = jax.shard_map(
+        shard_fin, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None, None),
+                   P(AXIS, None, None), P(AXIS)))
+
+    @jax.jit
+    def fin(sp: ShardedPacked) -> ShardedTable:
+        return ShardedTable(*mapped(sp.rows, sp.count))
+
+    return fin
+
+
+def gather_to_table(st) -> dictionary.KmerTable:
     """Concatenate shard ranges into a single host-side KmerTable
     (prefix sharding => shard-major concatenation is globally sorted).
-    For graph passes that currently run single-device."""
+    Called ONCE at the end of counting for graph passes that still run
+    single-device; counting itself never gathers."""
+    if isinstance(st, ShardedPacked):
+        raise TypeError("finalize_sharded before gather_to_table")
     d, cap, w = st.keys.shape
     ks, cs, ls, rs = [], [], [], []
     for s in range(d):

@@ -35,17 +35,20 @@ class PregraphResult:
 
 
 class _MergeForest:
-    """Logarithmic streaming accumulation of per-batch tables.
+    """Logarithmic streaming accumulation of per-batch PackedTables.
 
     A linear ``merge(acc, batch)`` re-sorts the whole accumulator every
     batch — quadratic in batch count.  Binary-counter merging (LSM
     style) keeps one table per size class and merges equal-rank tables,
-    so each row is re-sorted O(log n_batches) times total."""
+    so each row is re-sorted O(log n_batches) times total.  The merge
+    unit is the packed (k-mer, context) row (dictionary.PackedTable);
+    coverage splitting happens once, in finalize."""
 
-    def __init__(self):
+    def __init__(self, merge_fn=None):
         self.levels: list = []
+        self._merge = merge_fn or dictionary.merge_packed
 
-    def insert(self, t: dictionary.KmerTable) -> None:
+    def insert(self, t) -> None:
         i = 0
         while True:
             if i == len(self.levels):
@@ -54,16 +57,16 @@ class _MergeForest:
             if self.levels[i] is None:
                 self.levels[i] = t
                 return
-            t = dictionary.merge(self.levels[i], t)
+            t = self._merge(self.levels[i], t)
             self.levels[i] = None
             i += 1
 
-    def finish(self) -> Optional[dictionary.KmerTable]:
-        out: Optional[dictionary.KmerTable] = None
+    def finish(self):
+        out = None
         for t in self.levels:
             if t is None:
                 continue
-            out = t if out is None else dictionary.merge(out, t)
+            out = t if out is None else self._merge(out, t)
         return out
 
 
@@ -81,12 +84,12 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     n_reads = 0
     for codes, lengths, _lib in batches:
         stream = kmer.chop_reads(jnp.asarray(codes), jnp.asarray(lengths), k)
-        forest.insert(dictionary.build(stream))
+        forest.insert(dictionary.build_packed(stream, k))
         n_reads += int((np.asarray(lengths) > 0).sum())
-    table = forest.finish()
-    if table is None:
+    packed = forest.finish()
+    if packed is None:
         raise ValueError("no reads")
-    return table
+    return dictionary.finalize(packed, k)
 
 
 def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
@@ -97,7 +100,8 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
     d = mesh.shape[sharded_count.AXIS]
     sh2 = NamedSharding(mesh, P(sharded_count.AXIS, None))
     sh1 = NamedSharding(mesh, P(sharded_count.AXIS))
-    forest = _MergeForest()
+    merger = sharded_count.make_sharded_merger(mesh)
+    forest = _MergeForest(merge_fn=merger)
     runners = {}
     for codes, lengths, _lib in batches:
         r, l = codes.shape
@@ -129,11 +133,15 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
                   f"— retrying with bucket_cap={cap}")
             runners[key] = (sharded_count.make_sharded_counter(
                 mesh, k, r // d, l, bucket_cap=cap), cap)
-        forest.insert(sharded_count.gather_to_table(st))
-    table = forest.finish()
-    if table is None:
+        # accumulate INTO the mesh-resident shards — no per-batch gather
+        forest.insert(st)
+    sp = forest.finish()
+    if sp is None:
         raise ValueError("no reads")
-    return table
+    stable = sharded_count.make_sharded_finalizer(mesh, k)(sp)
+    # single gather at the counting->graph boundary (graph passes are
+    # single-device today; see VERDICT r2 item 2 for the sharded plan)
+    return sharded_count.gather_to_table(stable)
 
 
 def delete_low_freq(table: dictionary.KmerTable,

@@ -26,7 +26,7 @@ def pad_batch(seqs):
 def build_all(seqs, k=K):
     padded, lens = pad_batch(seqs)
     stream = kmer.chop_reads(padded, lens, k)
-    table = dictionary.build(stream)
+    table = dictionary.build(stream, k)
     graph = dbg_mod.build_dbg(table, k)
     eg = unitigs.condense(graph, table, k)
     patch = arcs.build_patch(eg, table, k)
@@ -150,7 +150,7 @@ def test_n_read_breaks_path(rng):
     # graph built from clean reads; threading read has N at the junction
     padded, lens = pad_batch([p + a, p + b])
     stream = kmer.chop_reads(padded, lens, K)
-    table = dictionary.build(stream)
+    table = dictionary.build(stream, K)
     graph = dbg_mod.build_dbg(table, K)
     eg = unitigs.condense(graph, table, K)
     patch = arcs.build_patch(eg, table, K)

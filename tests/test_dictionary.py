@@ -53,7 +53,7 @@ def make_stream(seqs, k):
 def test_build_matches_dict(k, rng):
     seqs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(k, 80))))
             for _ in range(20)]
-    table = dictionary.build(make_stream(seqs, k))
+    table = dictionary.build(make_stream(seqs, k), k)
     oracle = dict_oracle(seqs, k)
 
     n = int(table.n)
@@ -76,10 +76,12 @@ def test_build_matches_dict(k, rng):
 def test_merge_matches_single_build(rng):
     k = 23
     seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(30)]
-    whole = dictionary.build(make_stream(seqs, k))
-    t1 = dictionary.build(make_stream(seqs[:11], k))
-    t2 = dictionary.build(make_stream(seqs[11:], k))
-    merged = dictionary.merge(t1, t2)
+    whole = dictionary.build(make_stream(seqs, k), k)
+    # the streaming path: per-batch packed builds, LSM merge, one
+    # finalize at the end (what stages/pregraph actually runs)
+    t1 = dictionary.build_packed(make_stream(seqs[:11], k), k)
+    t2 = dictionary.build_packed(make_stream(seqs[11:], k), k)
+    merged = dictionary.finalize(dictionary.merge_packed(t1, t2), k)
     n = int(whole.n)
     assert int(merged.n) == n
     assert np.array_equal(np.asarray(merged.keys[:n]), np.asarray(whole.keys[:n]))
@@ -91,7 +93,7 @@ def test_merge_matches_single_build(rng):
 def test_lookup(rng):
     k = 23
     seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(10)]
-    table = dictionary.build(make_stream(seqs, k))
+    table = dictionary.build(make_stream(seqs, k), k)
     n = int(table.n)
     # every present key found at its own row
     idx = dictionary.lookup(table.keys, table.keys[:n])

@@ -20,7 +20,7 @@ def build_table(seqs, k=K):
         padded[i, : len(s)] = bits.encode_seq(s)
         lens.append(len(s))
     stream = kmer.chop_reads(jnp.asarray(padded), jnp.asarray(lens), k)
-    return dictionary.build(stream)
+    return dictionary.build(stream, k)
 
 
 def unique_kmer_seq(rng, n, k=K):

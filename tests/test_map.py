@@ -39,7 +39,7 @@ def assemble_contigs(seqs, k=K):
     padded = jnp.asarray(padded)
     lens = jnp.asarray(lens)
     stream = kmer.chop_reads(padded, lens, k)
-    table = dictionary.build(stream)
+    table = dictionary.build(stream, k)
     graph = dbg_mod.build_dbg(table, k)
     eg = unitigs.condense(graph, table, k)
     patch = arcs.build_patch(eg, table, k)

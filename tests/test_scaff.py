@@ -44,7 +44,7 @@ def pad(reads):
 def assemble(reads, k=K):
     padded, lens = pad(reads)
     stream = kmer.chop_reads(padded, lens, k)
-    table = dictionary.build(stream)
+    table = dictionary.build(stream, k)
     graph = dbg_mod.build_dbg(table, k)
     eg = unitigs.condense(graph, table, k)
     patch = arcs.build_patch(eg, table, k)

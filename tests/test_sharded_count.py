@@ -37,10 +37,11 @@ def test_sharded_matches_single(rng):
              jax.device_put(jnp.asarray(lens),
                             NamedSharding(mesh, P(sharded_count.AXIS))))
     assert int(jnp.sum(st.dropped)) == 0
-    merged = sharded_count.gather_to_table(st)
+    fin = sharded_count.make_sharded_finalizer(mesh, K)
+    merged = sharded_count.gather_to_table(fin(st))
 
     stream = kmer.chop_reads(jnp.asarray(seqs), jnp.asarray(lens), K)
-    ref = dictionary.build(stream)
+    ref = dictionary.build(stream, K)
 
     n = int(ref.n)
     assert int(merged.n) == n
@@ -67,7 +68,8 @@ def test_shard_count_invariance(rng):
         st = run(jax.device_put(jnp.asarray(seqs), sharding),
                  jax.device_put(jnp.asarray(lens),
                                 NamedSharding(mesh, P(sharded_count.AXIS))))
-        tables.append(sharded_count.gather_to_table(st))
+        fin = sharded_count.make_sharded_finalizer(mesh, K)
+        tables.append(sharded_count.gather_to_table(fin(st)))
     a, b = tables
     n = int(a.n)
     assert int(b.n) == n

@@ -20,7 +20,7 @@ def assemble(seqs, k=K):
         padded[i, : len(s)] = bits.encode_seq(s)
         lens.append(len(s))
     stream = kmer.chop_reads(jnp.asarray(padded), jnp.asarray(lens), k)
-    table = dictionary.build(stream)
+    table = dictionary.build(stream, k)
     graph = dbg_mod.build_dbg(table, k)
     eg = unitigs.condense(graph, table, k)
     return table, graph, eg
