@@ -332,18 +332,17 @@ def run_map_cmd(args, ctg=None, table=None):
     index = map_stage.build_contig_index(ctg, table, k)
     full_len = ctg.length + k
 
-    cand_f, cand_t, cand_g, cand_v, cand_se = [], [], [], [], []
     placements = []
-    batch_ins = []  # per batch: insert size used (0 for SE libs)
     want_f = getattr(args, "gap_reads", False)
     group_rows = []      # per batch: (read, ctg, ctg_off, read_off,
                          #             align, same) qualifying groups
     pe_rows, gap_rows, short_reads = [], [], []  # -f payloads
-    base = 0             # global read counter across batches
-    n_ctg_rows = ctg.length.shape[0]
-    unique = jnp.asarray(
-        (np.arange(n_ctg_rows) < int(ctg.n)) &
-        (np.asarray(full_len) >= getattr(args, "min_contig", 100)))
+    base = 0             # global REAL-read counter across batches —
+    #                      padded tail rows (length 0) are not
+    #                      numbered, matching the reference's dense
+    #                      readno space (readCounter, prlRead2Ctg.c:539)
+    lib_reads = {}       # lib index -> reads seen (for .peGrads)
+    max_read_len = 0
     from .io import fastx
     for codes, lengths, li in fastx.config_read_batches(
             cfg, 4096, purpose=2):
@@ -354,31 +353,28 @@ def run_map_cmd(args, ctg=None, table=None):
         placements.append((pl, li))
         r, l = codes.shape
         p = l - k + 1
-        ins_for_batch = 0
+        lens_np = np.asarray(lengths)
+        real = lens_np > 0
+        n_real = int(real.sum())
+        # batch row -> 0-based global read index (padding unnumbered)
+        row_no = base + np.cumsum(real) - 1
+        lib_reads[li] = lib_reads.get(li, 0) + n_real
+        if n_real:
+            max_read_len = max(max_read_len, int(lens_np.max()))
+        ins_for_batch = lib.avg_ins if lib.has_pairs else 0
         if lib.has_pairs and lib.avg_ins > 0:
             ins, n_obs = connections.estimate_insert_size(
                 pl.ctg, pl.pos, ctg.twin, full_len, lib.avg_ins)
-            ins_for_batch = int(ins)
             if ins != lib.avg_ins:
-                print(f"[map] lib {li}: insert size re-estimated "
+                print(f"[map] lib {li}: insert size estimate "
                       f"{lib.avg_ins} -> {ins} ({n_obs} pairs)")
-            f, t, g, v = connections.pe_link_candidates(
-                pl.ctg, pl.pos, ctg.twin, full_len, ins, k)
-            cand_f.append(f); cand_t.append(t); cand_g.append(g)
-            cand_v.append(v); cand_se.append(jnp.zeros_like(v))
-        f, t, g, v = connections.se_link_candidates(
-            pl.g_ctg, pl.g_ctg_off, pl.g_read_off, pl.g_valid,
-            r, p, k, twin=ctg.twin, ctg_len=full_len, unique=unique)
-        cand_f.append(f); cand_t.append(t); cand_g.append(g)
-        cand_v.append(v); cand_se.append(jnp.ones_like(v))
-        batch_ins.append(np.full(r, ins_for_batch, np.int32))
 
         # qualifying alignment groups in read-encounter order
         # (recordAlldgn, reference prlRead2Ctg.c:530-614)
         gv = np.asarray(pl.g_valid)
         qi = np.nonzero(gv)[0]
         if qi.size:
-            gr = np.asarray(pl.g_read)[qi] + base
+            gr = row_no[np.asarray(pl.g_read)[qi]]
             gro = np.asarray(pl.g_read_off)[qi]
             order = np.lexsort((gro, gr))
             qi = qi[order]
@@ -389,9 +385,12 @@ def run_map_cmd(args, ctg=None, table=None):
         if want_f and lib.has_pairs:
             cb = np.asarray(pl.ctg)
             pb = np.asarray(pl.pos)
-            lnp = np.asarray(lengths)
+            lnp = lens_np
             for t2 in range(1, r, 2):
-                rn1, rn2 = base + t2, base + t2 + 1  # 1-based readnos
+                if not real[t2 - 1] and not real[t2]:
+                    continue
+                rn1 = int(row_no[t2 - 1]) + 1  # 1-based readnos
+                rn2 = int(row_no[t2]) + 1
                 c1m, c2m = int(cb[t2 - 1]), int(cb[t2])
                 if c1m >= 0 and c2m >= 0:
                     pe_rows.append((rn1, c1m, int(pb[t2 - 1]),
@@ -406,31 +405,29 @@ def run_map_cmd(args, ctg=None, table=None):
                     gap_rows.append((rn1, c2m, pos))
                     short_reads.append(
                         (rn1, np.asarray(codes[t2 - 1, : lnp[t2 - 1]])))
-        base += r
+        base += n_real
 
-    if not cand_f:  # no scaffolding libraries (asm_flags & 2 unset)
-        cand_f = [jnp.full(1, -1, jnp.int32)]
-        cand_t = [jnp.full(1, -1, jnp.int32)]
-        cand_g = [jnp.zeros(1, jnp.int32)]
-        cand_v = [jnp.zeros(1, bool)]
-        cand_se = [jnp.zeros(1, bool)]
-    conn = connections.aggregate(
-        jnp.concatenate(cand_f), jnp.concatenate(cand_t),
-        jnp.concatenate(cand_g),
-        jnp.concatenate(cand_se), jnp.concatenate(cand_v))
-    print(f"[map] {int(conn.n)} contig connections")
-    read_ctg = np.concatenate(
-        [np.asarray(pl.ctg) for pl, _ in placements]) if placements \
-        else np.zeros(0, np.int32)
-    read_pos = np.concatenate(
-        [np.asarray(pl.pos) for pl, _ in placements]) if placements \
-        else np.zeros(0, np.int32)
-    read_ins = np.concatenate(batch_ins) if batch_ins \
-        else np.zeros(0, np.int32)
-    with open(args.out + ".links.pkl", "wb") as fh:
-        pickle.dump({"k": k, "conn": _to_np(conn),
-                     "read_ctg": read_ctg, "read_pos": read_pos,
-                     "read_ins": read_ins}, fh)
+    # .peGrads from the map pass's own library accounting, like the
+    # reference's map-side writer (prlRead2Ctg.c:827-840): per-grad
+    # cumulative read-number bounds; equal insert sizes merge
+    grads = []
+    bound = 0
+    for li in sorted(lib_reads):
+        lib = cfg.libs[li]
+        bound += lib_reads[li]
+        if not lib.has_pairs or lib.avg_ins <= 0:
+            continue
+        # raw config value — the reference writes pair_num_cut as-is,
+        # 0 when unset (prlRead2Ctg.c:842); the 3-default is applied by
+        # the weakPE computation on the consumer side
+        cut = getattr(lib, "pair_num_cut", 0)
+        if grads and grads[-1][0] == lib.avg_ins:
+            grads[-1] = (lib.avg_ins, bound, 0, cut)
+        else:
+            grads.append((lib.avg_ins, bound, 0, cut))
+    from .io import stagefiles
+    stagefiles.write_pe_grads(
+        args.out + ".peGrads", grads, base, max_read_len)
     # group stream, reference id space (1-based, resolved orientation)
     if group_rows:
         g_read = np.concatenate([g[0] for g in group_rows])
@@ -452,6 +449,7 @@ def run_map_cmd(args, ctg=None, table=None):
         [g_read[1:] != g_read[:-1], np.ones(1, bool)]) \
         if g_read.size else np.zeros(0, bool)
     with open(args.out + ".readOnContig", "w") as fh:
+        fh.write("read\tcontig\tpos\n")  # header (prlRead2Ctg.c:734)
         pick = np.where((g_read + 1) % 2 == 1, last_of, first_of) \
             if g_read.size else first_of
         sel = np.nonzero(pick)[0]
@@ -493,31 +491,31 @@ def run_map_cmd(args, ctg=None, table=None):
         print(f"[map] wrote {len(gap_rows)} gap reads "
               f"(.readInGap/.shortreadInGap.gz), "
               f"{len(pe_rows)} PE placements (.PEreadOnContig.gz)")
-    print(f"[map] wrote {args.out}.readOnContig/.ctg2Read/.links.pkl")
-    return conn
+    print(f"[map] wrote {args.out}.readOnContig/.ctg2Read/.peGrads")
 
 
 def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     from .io import fastx
+    from .stages import pelinks
     from .stages import scaff as scaff_stage
 
-    link_extra = {}
     if ctg is None:
         from .io import graph_files
         ctg, table, k = graph_files.load_contig_graph_files(args.out)
         print(f"[scaff] loaded {int(ctg.n)} contigs from "
               f"{args.out}.updated.edge/.Arc/.contig")
-        with open(args.out + ".links.pkl", "rb") as fh:
-            ldata = pickle.load(fh)
-        conn = _to_jnp(ldata["conn"])
-        link_extra = ldata
     else:
         k = args.k
-        try:
-            with open(args.out + ".links.pkl", "rb") as fh:
-                link_extra = pickle.load(fh)
-        except FileNotFoundError:
-            pass
+    # connections are ALWAYS rebuilt from the map stage's files
+    # (.peGrads + .readOnContig + .ctg2Read), like the reference's
+    # PE2Links/Links2Scaf/singleRead2connection — the scaff stage is
+    # resumable from map outputs alone, including outputs written by
+    # the reference binary
+    conn, link_extra = pelinks.build_connections(
+        args.out, ctg, k,
+        min_unique_len=getattr(args, "min_contig", 100))
+    print(f"[scaff] {int(conn.n)} contig connections from "
+          f"{args.out}.readOnContig/.ctg2Read")
 
     params = scaff_stage.ScaffParams(
         min_unique_len=getattr(args, "min_contig", 100),
@@ -537,20 +535,24 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     from .io import stagefiles
     preset = None
     if getattr(args, "skip_scaffold", False):
-        full_len_np = np.asarray(ctg.length) + k
+        # .scaf_gap coordinates are in K-exclusive contig-length space
+        # (reference outputOneTranscriptome, transcriptome.c:1210)
         preset = stagefiles.read_scaf_gap(
-            args.out + ".scaf_gap", full_len_np)
+            args.out + ".scaf_gap", np.asarray(ctg.length), k)
         print(f"[scaff] -S: reusing {len(preset)} transcript "
               f"structures from {args.out}.scaf_gap")
-    recs, transcripts, stats, gap_report = scaff_stage.run_scaff(
+    sres = scaff_stage.run_scaff(
         ctg, conn, k, table, params, ctg_arcs=ctg.arcs,
         gap_read_source=gap_read_source, preset_transcripts=preset)
+    recs, transcripts, stats, gap_report = (
+        sres.recs, sres.transcripts, sres.stats, sres.gap_report)
     fastx.write_fasta(args.out + ".scafSeq", recs)
     stagefiles.write_gap_seq(args.out + ".gapSeq", gap_report)
-    stagefiles.write_links(args.out + ".links", conn)
     stagefiles.write_scaf_files(
         args.out, transcripts, recs,
-        np.asarray(ctg.length) + k, np.asarray(ctg.twin))
+        np.asarray(ctg.length), np.asarray(ctg.twin), k,
+        placements=sres.placements, routes=sres.routes,
+        n_runs=sres.n_runs)
     stagefiles.write_scaf_statistics(
         args.out, known_genome_size=getattr(args, "genome_size", 0))
     n_scaf = sum(1 for h, _ in recs if h.startswith("scaffold"))

@@ -160,13 +160,20 @@ def aggregate(f, t, g, is_se, valid) -> ConnSet:
         f, t, g, is_se, valid)
     n = int(n_conn)
     cap = dictionary.round_up(max(n, 1))
+
+    def fit(x, fill):
+        if x.shape[0] < cap:
+            x = jnp.concatenate(
+                [x, jnp.full(cap - x.shape[0], fill, x.dtype)])
+        return x[:cap]
+
     live = jnp.arange(cap) < n
     return ConnSet(
-        jnp.where(live, uf[:cap], -1),
-        jnp.where(live, ut[:cap], -1),
-        jnp.where(live, gmean[:cap], 0),
-        jnp.where(live, weight[:cap], 0),
-        jnp.where(live, sesum[:cap], 0),
+        jnp.where(live, fit(uf, -1), -1),
+        jnp.where(live, fit(ut, -1), -1),
+        jnp.where(live, fit(gmean, 0), 0),
+        jnp.where(live, fit(weight, 0), 0),
+        jnp.where(live, fit(sesum, 0), 0),
         jnp.int32(n))
 
 

@@ -127,6 +127,7 @@ def write_ctg2read(path: str, groups) -> None:
     transcript stage's single-read linking input
     (singleRead2connection, transcriptome.c:256)."""
     with open(path, "w") as fh:
+        fh.write("read\tcontig\tpos\n")  # header (prlRead2Ctg.c:739)
         for readno, ctg, delta, orien in groups:
             fh.write(f"{readno}\t{ctg}\t{delta}\t{orien}\n")
 
@@ -160,23 +161,13 @@ def write_short_read_in_gap(path: str, reads) -> None:
             fh.write(f">read_{readno}\n{_bits.decode_seq(codes)}\n")
 
 
-def write_links(path: str, conn) -> None:
-    """.links (reference PE2Links, orderContig.c:3989): one line per
-    directed contig connection — 'from to gap weight se_count'."""
-    n = int(conn.n)
-    f = np.asarray(conn.from_ctg[:n])
-    t = np.asarray(conn.to_ctg[:n])
-    g = np.asarray(conn.gap[:n])
-    w = np.asarray(conn.weight[:n])
-    se = np.asarray(conn.se_count[:n])
-    with open(path, "w") as fh:
-        for i in range(n):
-            fh.write(f"{f[i]}\t{t[i]}\t{g[i]}\t{w[i]}\t{se[i]}\n")
-
-
-def read_scaf_gap(path: str, ctg_len_full):
+def read_scaf_gap(path: str, ctg_len_excl, k: int):
     """Rebuild the transcript list from a .scaf_gap file (-S resume,
     reference prlReadFillGap.c:1227 reparses .scaf_gap the same way).
+    Coordinates are in K-exclusive contig-length space and contig ids
+    are 1-based directed ids (outputOneTranscriptome,
+    transcriptome.c:1158-1219), so reference-written files load too.
+    GAP route lines are skipped (routes are re-derived when needed).
     Returns a list of stages.scaff.Transcript."""
     from ..stages.scaff import Transcript
 
@@ -192,25 +183,28 @@ def read_scaf_gap(path: str, ctg_len_full):
             if line[0] == ">":
                 if meta is not None:
                     transcripts.append(_mk_transcript(
-                        meta, contigs, positions, ctg_len_full,
+                        meta, contigs, positions, ctg_len_excl, k,
                         Transcript))
                 parts = line[1:].split()
                 locus_tag = parts[3]  # Locus_<id>_<n>
                 _, lid, lidx = locus_tag.split("_")
                 meta = (int(lid), int(lidx), parts[4])
                 contigs, positions = [], []
+            elif line.startswith("GAP"):
+                continue
             else:
                 c, pos = line.split()[:2]
-                contigs.append(int(c))
+                contigs.append(int(c) - 1)
                 positions.append(int(pos))
     if meta is not None:
         transcripts.append(_mk_transcript(
-            meta, contigs, positions, ctg_len_full, Transcript))
+            meta, contigs, positions, ctg_len_excl, k, Transcript))
     return transcripts
 
 
-def _mk_transcript(meta, contigs, positions, ctg_len_full, cls):
-    gaps = [positions[i + 1] - (positions[i] + int(ctg_len_full[c]))
+def _mk_transcript(meta, contigs, positions, ctg_len_excl, k, cls):
+    # physical gap = coordinate gap (K-exclusive space) - K
+    gaps = [positions[i + 1] - (positions[i] + int(ctg_len_excl[c])) - k
             for i, c in enumerate(contigs[:-1])]
     return cls(meta[0], meta[1], meta[2], contigs, gaps)
 
@@ -227,49 +221,75 @@ def write_gap_seq(path: str, gap_report) -> None:
                 fh.write(seq + "\n")
 
 
-def write_scaf_files(prefix: str, transcripts, recs, ctg_len_full,
-                     twin) -> None:
-    """.scaf / .scaf_gap / .contigPosInscaff / .agp
-    (reference outputOneTranscriptome transcriptome.c:1158-1219 and
-    prlReadFillGap's outputSeqs :1174).  Contig ids are this
-    pipeline's contig rows (the reference renumbers via index_array;
-    our .ContigIndex carries the same mapping)."""
+def write_scaf_files(prefix: str, transcripts, recs, ctg_len_excl,
+                     twin, k: int, placements=None, routes=None,
+                     n_runs=None) -> None:
+    """.scaf / .scaf_gap / .contigPosInscaff / .agp in the reference
+    formats (outputOneTranscriptome transcriptome.c:1158-1219,
+    outputScafSeq prlReadFillGap.c:597-700).
+
+    * .scaf / .scaf_gap coordinates are K-exclusive cumulative contig
+      starts (start += length + gap); ids are 1-based, twin-resolved
+      (smaller id + strand) in .scaf, raw directed in .scaf_gap.
+    * GAP lines carry unique arc routes: 'GAP <route len> <seg> <ids>'
+      (output1gap, orderContig.c:2313-2343).
+    * .contigPosInscaff / .agp use RENDERED sequence coordinates from
+      `placements` ([(ctg, out_start, out_len, strand)] per record).
+    """
+    routes = routes or {}
+    n_runs = n_runs or {}
     scaf = open(prefix + ".scaf", "w")
     scaf_gap = open(prefix + ".scaf_gap", "w")
     cpis = open(prefix + ".contigPosInscaff", "w")
     agp = open(prefix + ".agp", "w")
+    jid = 0
     for idx, tr in enumerate(transcripts, start=1):
         total = 0
         for i, c in enumerate(tr.contigs):
-            total += int(ctg_len_full[c])
+            total += int(ctg_len_excl[c])
             if i < len(tr.gaps):
-                total += max(tr.gaps[i], 0)
+                total += tr.gaps[i] + k  # CONNECT gap (K-exclusive)
         head = (f">scaffold{idx} {len(tr.contigs)} {total} "
                 f"Locus_{tr.locus}_{tr.index} {tr.kind}\n")
         scaf.write(head)
         scaf_gap.write(head)
-        cpis.write(f">scaffold{idx}\n")
         pos = 0
-        part = 0
         for i, c in enumerate(tr.contigs):
             fwd = c <= int(twin[c])
-            rep = c if fwd else int(twin[c])
-            ln = int(ctg_len_full[c])
+            rep = (c if fwd else int(twin[c])) + 1
+            ln = int(ctg_len_excl[c])
             scaf.write(f"{rep:<10d} {pos:<10d} {'+' if fwd else '-'}   "
-                       f"{ln} \n")
-            scaf_gap.write(f"{c:<10d} {pos:<10d}\n")
-            cpis.write(f"{rep}\t{pos}\t{pos + ln}\t"
-                       f"{'+' if fwd else '-'}\n")
-            part += 1
-            agp.write(f"scaffold{idx}\t{pos + 1}\t{pos + ln}\t{part}\t"
-                      f"W\tC{rep}\t1\t{ln}\t{'+' if fwd else '-'}\n")
-            pos += ln
-            if i < len(tr.gaps) and tr.gaps[i] > 0:
+                       f"{ln + k} \n")
+            if i > 0 and (jid + i - 1) in routes:
+                r = routes[jid + i - 1]
+                rlen = sum(int(ctg_len_excl[x]) for x in r)
+                scaf_gap.write(
+                    f"GAP {rlen} {len(r)}"
+                    + "".join(f" {x + 1}" for x in r) + "\n")
+            scaf_gap.write(f"{c + 1:<10d} {pos:<10d}\n")
+            if i < len(tr.gaps):
+                pos += ln + tr.gaps[i] + k
+        jid += max(len(tr.contigs) - 1, 0)
+        # .contigPosInscaff / .agp from rendered placements
+        if placements is None or idx - 1 >= len(placements):
+            continue
+        cpis.write(f">scaffold{idx} Locus_{tr.locus}_{tr.index}\n")
+        part = 0
+        prev_end = 0
+        for (c, start, out_len, strand) in placements[idx - 1]:
+            rep = (c if strand == "+" else int(twin[c])) + 1
+            full = int(ctg_len_excl[c]) + k
+            if start > prev_end:  # N run before this contig
                 part += 1
-                agp.write(f"scaffold{idx}\t{pos + 1}\t"
-                          f"{pos + tr.gaps[i]}\t{part}\tN\t"
-                          f"{tr.gaps[i]}\tscaffold\tyes\tpaired-ends\n")
-                pos += tr.gaps[i]
+                agp.write(f"scaffold{idx}\t{prev_end + 1}\t{start}\t"
+                          f"{part}\tN\t{start - prev_end}\tfragment\t"
+                          f"yes\n")
+            cpis.write(f"{rep}\t{start}\t{strand}\t{out_len}\n")
+            part += 1
+            agp.write(f"scaffold{idx}\t{start + 1}\t{start + out_len}\t"
+                      f"{part}\tW\t{rep}\t{full - out_len + 1}\t{full}\t"
+                      f"{strand}\n")
+            prev_end = start + out_len
     for fh in (scaf, scaf_gap, cpis, agp):
         fh.close()
 

@@ -62,6 +62,24 @@ class Transcript:
     gaps: List[int]     # gap after each contig (len-1 entries)
 
 
+@dataclasses.dataclass
+class ScaffResult:
+    recs: List[Tuple[str, str]]       # .scafSeq records
+    transcripts: List[Transcript]
+    stats: Dict[str, float]
+    gap_report: List[Tuple[int, int, str, str]]
+    # per transcript: [(ctg_row, out_start, out_len, strand)] of every
+    # sequence segment actually rendered — the .contigPosInscaff/.agp
+    # payload (reference outputScafSeq, prlReadFillGap.c:597-700)
+    placements: List[List[Tuple[int, int, int, str]]] = \
+        dataclasses.field(default_factory=list)
+    # junction id -> intermediate route contigs (the .scaf_gap GAP
+    # lines, transcriptome.c:1195-1205 + output1gap)
+    routes: Dict[int, List[int]] = dataclasses.field(default_factory=dict)
+    # junction id -> rendered N-run length (0 when spliced/filled)
+    n_runs: Dict[int, int] = dataclasses.field(default_factory=dict)
+
+
 class ConnGraph:
     """Mutable host view of the connection set over directed contigs."""
 
@@ -379,8 +397,11 @@ def transcript_sequences(transcripts: List[Transcript], seqs: List[str],
                          used_flags: Optional[np.ndarray] = None
                          ) -> List[Tuple[str, str]]:
     """Assemble scaffold sequences: member contigs joined with N gaps
-    (gap filling refines this — reference prlReadFillGap; N-join is
-    the -F-off behavior)."""
+    exactly like the reference's -F-off rendering (outputScafSeq,
+    prlReadFillGap.c:637-656): gapN = CONNECT gap (min 1) Ns, then the
+    next contig trimmed by cutHead=K.  k is inferred from nothing here,
+    so callers that need the trim should use run_scaff; this helper
+    keeps the legacy full-join for quick tests."""
     recs = []
     for idx, tr in enumerate(transcripts, start=1):
         parts = []
@@ -464,23 +485,26 @@ def collect_gap_reads(junctions, read_ctg, read_pos, batch_factory,
     base = 0
     for codes, lens, _li in batch_factory():
         b = codes.shape[0]
+        dense = 0  # padded rows (length 0) are unnumbered, like map
         for local in range(b):
-            slots = wanted.get(base + local)
-            if slots and lens[local] > 0:
+            if lens[local] <= 0:
+                continue
+            slots = wanted.get(base + dense)
+            if slots:
                 row = np.asarray(codes[local, : lens[local]], np.uint8)
                 for s in slots:
                     gap_reads[s].append(row)
-        base += b
+            dense += 1
+        base += dense
     return gap_reads
 
 
 def run_scaff(contigs, conn, k: int, table,
               params: Optional[ScaffParams] = None, ctg_arcs=None,
               gap_read_source=None, preset_transcripts=None):
-    """Full scaffold stage: returns (records, transcripts, stats,
-    gap_report).
+    """Full scaffold stage: returns a ScaffResult.
 
-    records: list of (header, sequence) for .scafSeq — transcripts
+    .recs: list of (header, sequence) for .scafSeq — transcripts
     first, then leftover contigs >= 100bp as '>C<row>' singletons
     (reference prlReadFillGap.c:1453-1461).
 
@@ -536,17 +560,24 @@ def run_scaff(contigs, conn, k: int, table,
             juncs.append((ti, ji, tr.contigs[ji], tr.contigs[ji + 1],
                           tr.gaps[ji]))
 
-    # strategy 1: unique arc route through the contig graph
+    # strategy 1: unique arc route through the contig graph.  Routes
+    # are found for every junction (the reference writes them as GAP
+    # lines in .scaf_gap regardless of -F, transcriptome.c:1195-1205);
+    # their SEQUENCE is spliced only under -F — without fillGap the
+    # reference ignores GAP lines entirely and renders Ns
+    # (prlReadFillGap.c:1347-1356: procGap is called only `if (fillGap)`).
     routes: Dict[int, List[int]] = {}
     if router is not None:
         for jid, (_, _, c1, c2, gap) in enumerate(juncs):
             r = router.find_route(c1, c2, gap, params.ins_size_var)
             if r is not None:
                 routes[jid] = r
+    splice_routes = routes if params.fill_gaps else {}
 
     # strategies 2+3: overlap merge / read-local assembly (-F)
     fill: Dict[int, Tuple[str, str, int]] = {}  # jid -> (kind, seq, ov)
-    pending = [jid for jid in range(len(juncs)) if jid not in routes]
+    pending = [jid for jid in range(len(juncs))
+               if jid not in splice_routes]
     if pending and params.fill_gaps:
         jspecs = [(seqs[juncs[jid][2]], seqs[juncs[jid][3]],
                    int(juncs[jid][4])) for jid in pending]
@@ -575,40 +606,67 @@ def run_scaff(contigs, conn, k: int, table,
     # --- splice sequences ---
     recs: List[Tuple[str, str]] = []
     gap_report: List[Tuple[int, int, str, str]] = []
+    placements: List[List[Tuple[int, int, int, str]]] = []
+    n_runs: Dict[int, int] = {}
     n_routed = n_filled = 0
     jid = 0
     for idx, tr in enumerate(transcripts, start=1):
-        parts = [seqs[tr.contigs[0]]]
-        used[tr.contigs[0]] = True
+        c0 = tr.contigs[0]
+        parts = [seqs[c0]]
+        pos = len(seqs[c0])
+        place = [(c0, 0, pos, "+" if c0 <= int(twin[c0]) else "-")]
+        used[c0] = True
         for ji, c2 in enumerate(tr.contigs[1:]):
             gap = tr.gaps[ji]
-            if jid in routes:
-                for x in routes[jid]:
+            strand2 = "+" if c2 <= int(twin[c2]) else "-"
+            if jid in splice_routes:
+                for x in splice_routes[jid]:
                     parts.append(seqs[x][k:])
+                    place.append((x, pos, len(seqs[x]) - k,
+                                  "+" if x <= int(twin[x]) else "-"))
+                    pos += len(seqs[x]) - k
                 parts.append(seqs[c2][k:])
+                place.append((c2, pos, len(seqs[c2]) - k, strand2))
+                pos += len(seqs[c2]) - k
                 n_routed += 1
                 gap_report.append((idx, ji, "route",
                                    "".join(seqs[x][k:]
-                                           for x in routes[jid])))
+                                           for x in splice_routes[jid])))
             elif jid in fill:
                 kind, fseq, ov = fill[jid]
                 if kind == "overlap":
                     parts.append(seqs[c2][ov:])
+                    place.append((c2, pos, len(seqs[c2]) - ov, strand2))
+                    pos += len(seqs[c2]) - ov
                 else:
                     parts.append(fseq)
+                    pos += len(fseq)
                     parts.append(seqs[c2])
+                    place.append((c2, pos, len(seqs[c2]), strand2))
+                    pos += len(seqs[c2])
                 n_filled += 1
                 gap_report.append((idx, ji, kind, fseq))
             else:
-                if gap > 0:
-                    parts.append("N" * gap)
-                parts.append(seqs[c2])
+                # no fill: gapN Ns (the CONNECT gap, min 1) + the next
+                # contig trimmed by cutHead=K — reference outputScafSeq
+                # with initiateCtgInScaf's cutHead=overlaplen default
+                # (prlReadFillGap.c:265-270,637-656); without -F,
+                # procGap never runs so every junction renders this way
+                # (prlReadFillGap.c:1347-1356)
+                gap_n = max(gap + k, 1)
+                parts.append("N" * gap_n)
+                pos += gap_n
+                n_runs[jid] = gap_n
+                parts.append(seqs[c2][k:])
+                place.append((c2, pos, len(seqs[c2]) - k, strand2))
+                pos += len(seqs[c2]) - k
             used[c2] = True
             jid += 1
         seq = "".join(parts)
         header = (f"scaffold{idx} {len(tr.contigs)} {len(seq)} "
                   f"Locus_{tr.locus}_{tr.index} {tr.kind}")
         recs.append((header, seq))
+        placements.append(place)
     if n_routed or n_filled:
         print(f"[scaff] gaps closed: {n_routed} arc routes, "
               f"{n_filled} overlap/local-asm of {len(juncs)}")
@@ -621,7 +679,8 @@ def run_scaff(contigs, conn, k: int, table,
             continue
         recs.append((f"C{c}", seqs[c]))
         used[c] = used[int(twin[c])] = True
-    return recs, transcripts, scaf_stats(recs), gap_report
+    return ScaffResult(recs, transcripts, scaf_stats(recs), gap_report,
+                       placements, routes, n_runs)
 
 
 def scaf_stats(recs: List[Tuple[str, str]]) -> Dict[str, float]:

@@ -102,9 +102,10 @@ def test_pe_scaffolding(rng):
     conn = connections.aggregate(f, t_, g, is_se, v)
     assert int(conn.n) > 0
 
-    recs, transcripts, stats, _gaps = scaff.run_scaff(
+    sres = scaff.run_scaff(
         ctg, conn, K, table,
         scaff.ScaffParams(min_unique_len=100))
+    recs, stats = sres.recs, sres.stats
     # each transcript's unique arms must be joined in one scaffold
     seqs = [s for h, s in recs if h.startswith("scaffold")]
     assert len(seqs) >= 2
@@ -158,7 +159,7 @@ def test_se_links_join_contigs(rng):
         unique=jnp.asarray(unique))
     conn = connections.aggregate(f, t_, g, jnp.ones_like(v), v)
     assert int(conn.n) > 0
-    recs, transcripts, stats, _gaps = scaff.run_scaff(ctg, conn, K, table)
+    recs = scaff.run_scaff(ctg, conn, K, table).recs
     seqs = [s for h, s in recs if h.startswith("scaffold")]
     u1, u2, u3, u4, rep = parts
     joined = 0
