@@ -213,10 +213,17 @@ def run_pregraph_cmd(args):
     cfg = libconfig.parse_config(args.config)
     if args.k % 2 == 0 or not (13 <= args.k <= 127):
         sys.exit("K must be odd and within 13..127")
+    import os
+
     import jax
 
     mesh = None
-    if len(jax.devices()) > 1:
+    # mesh-resident pregraph whenever >1 device is visible; the env
+    # override exists for the test suite, where the routed path's
+    # per-shape compile cost dwarfs the tiny fixtures (dedicated
+    # sharded tests cover the mesh path explicitly)
+    if len(jax.devices()) > 1 and \
+            not os.environ.get("SOAPDENOVO_TPU_NO_SHARD"):
         from jax.sharding import Mesh
 
         from .parallel import sharded_count
@@ -228,7 +235,10 @@ def run_pregraph_cmd(args):
     res = pg_stage.run_pregraph(
         factory, args.k,
         low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh)
-    hist = pg_stage.kmer_freq_histogram(res.table)
+    # sharded runs precompute the histogram on the mesh (res.table is
+    # then only the mini endpoint table)
+    hist = res.freq_hist if res.freq_hist is not None \
+        else pg_stage.kmer_freq_histogram(res.table)
     if n_kmer and factory.n_windows:
         # -n: the reference hashes every N-containing window as one
         # InvalidKmer node (prlHashReads.c:207-213); it surfaces in the

@@ -26,12 +26,15 @@ from ..ops import dictionary, kmer
 
 @dataclasses.dataclass
 class PregraphResult:
-    table: dictionary.KmerTable
-    graph: dbg_mod.DBG
+    table: dictionary.KmerTable  # full table (dense path) or the mini
+    #                              endpoint table (sharded path)
+    graph: Optional[dbg_mod.DBG]
     edges: unitigs.EdgeGraph
     patch: arcs_mod.PatchTable
     arcs: arcs_mod.ArcSet
     k: int
+    freq_hist: Optional[object] = None  # np histogram (sharded path)
+    n_distinct: int = 0
 
 
 class _MergeForest:
@@ -75,11 +78,14 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     (reference prlRead2HashTable's batch loop, prlHashReads.c:338).
 
     With a mesh, batches are data-parallel over devices and the k-mer
-    space is prefix-sharded with all_to_all routing
-    (parallel/sharded_count.py); per-batch shard tables merge into one
-    host table for the (currently single-device) graph passes."""
+    space is prefix-sharded with all_to_all routing; the result is
+    GATHERED to one table (legacy helper — run_pregraph's mesh path
+    keeps shards resident instead)."""
     if mesh is not None:
-        return _count_reads_sharded(batches, k, mesh)
+        from ..parallel import sharded_count
+
+        return sharded_count.gather_to_table(
+            _count_reads_sharded(batches, k, mesh))
     forest = _MergeForest()
     n_reads = 0
     for codes, lengths, _lib in batches:
@@ -92,7 +98,9 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     return dictionary.finalize(packed, k)
 
 
-def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
+def _count_reads_sharded(batches, k: int, mesh):
+    """Resident sharded counting: returns a ShardedTable ON THE MESH
+    (the table is never gathered; graph passes run sharded too)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import sharded_count
@@ -138,10 +146,7 @@ def _count_reads_sharded(batches, k: int, mesh) -> dictionary.KmerTable:
     sp = forest.finish()
     if sp is None:
         raise ValueError("no reads")
-    stable = sharded_count.make_sharded_finalizer(mesh, k)(sp)
-    # single gather at the counting->graph boundary (graph passes are
-    # single-device today; see VERDICT r2 item 2 for the sharded plan)
-    return sharded_count.gather_to_table(stable)
+    return sharded_count.make_sharded_finalizer(mesh, k)(sp)
 
 
 def delete_low_freq(table: dictionary.KmerTable,
@@ -160,9 +165,17 @@ def run_pregraph(batch_iter_factory, k: int,
                  clip_tips: bool = True, mesh=None) -> PregraphResult:
     """batch_iter_factory: zero-arg callable returning a fresh iterator
     of (codes, lengths, lib) batches — called twice (two read passes,
-    like the reference)."""
+    like the reference).
+
+    With a mesh, the ENTIRE stage runs on resident shards — counting,
+    DBG build, tip clipping, condensation, read threading — and only
+    the condensed edge graph (edges << kmers) lands on the host
+    (_run_pregraph_sharded; VERDICT r2 item 2)."""
+    if mesh is not None:
+        return _run_pregraph_sharded(
+            batch_iter_factory, k, low_freq_cutoff, clip_tips, mesh)
     t0 = time.time()
-    table = count_reads(batch_iter_factory(), k, mesh=mesh)
+    table = count_reads(batch_iter_factory(), k)
     print(f"[pregraph] {int(table.n)} distinct kmers "
           f"({time.time() - t0:.1f}s)")
     table = delete_low_freq(table, low_freq_cutoff)
@@ -189,7 +202,70 @@ def run_pregraph(batch_iter_factory, k: int,
         aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
             aset, batch_arcs, edges.twin)
     print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
-    return PregraphResult(table, graph, edges, patch, aset, k)
+    return PregraphResult(table, graph, edges, patch, aset, k,
+                          n_distinct=int(table.n))
+
+
+def _run_pregraph_sharded(batch_iter_factory, k: int,
+                          low_freq_cutoff: int, clip_tips: bool,
+                          mesh) -> PregraphResult:
+    """Mesh-resident pregraph: the k-mer table and every table-sized
+    pass stay sharded; the host receives only the condensed edge graph
+    with a mini endpoint table (parallel/sharded_pregraph.py)."""
+    import jax
+
+    from ..parallel import sharded_pregraph as spg
+
+    t0 = time.time()
+    st = _count_reads_sharded(batch_iter_factory(), k, mesh)
+    cap = st.keys.shape[1]
+    n_distinct = int(np.asarray(st.n).sum())
+    print(f"[pregraph] {n_distinct} distinct kmers across "
+          f"{st.keys.shape[0]} resident shards ({time.time() - t0:.1f}s)")
+
+    live = jnp.arange(cap)[None, :] < st.n[:, None]
+    deleted = jnp.where(
+        live & (st.count <= low_freq_cutoff), 1, 0
+    ).astype(jnp.int32) if low_freq_cutoff > 0 else \
+        jnp.zeros(st.keys.shape[:2], jnp.int32)
+
+    hist = spg.kmer_freq_sharded(mesh, st, deleted)
+    routers = spg.Routers.build(mesh, cap)
+    if clip_tips:
+        t0 = time.time()
+        deleted = spg.clip_tip_kmers_sharded(mesh, routers, st, deleted,
+                                             k)
+        print(f"[pregraph] kmer tip clipping done "
+              f"({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    edges, mini_table, node_edge, node_pos = spg.condense_sharded(
+        mesh, routers, st, deleted, k)
+    print(f"[pregraph] {int(edges.n_edges)} edges "
+          f"({time.time() - t0:.1f}s)")
+
+    patch = arcs_mod.build_patch(edges, mini_table, k)
+    t0 = time.time()
+    d = st.keys.shape[0]
+    aset: Optional[arcs_mod.ArcSet] = None
+    for codes, lengths, _lib in batch_iter_factory():
+        r, l = codes.shape
+        if r % d:
+            pad = d - r % d
+            codes = np.concatenate(
+                [codes, np.full((pad, l), 4, np.uint8)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad, lengths.dtype)])
+        f, t, v = spg.thread_reads_sharded(
+            mesh, routers, st, deleted, node_edge, node_pos, edges,
+            patch, codes, lengths, k)
+        batch_arcs = arcs_mod.count_arcs(
+            jnp.asarray(f), jnp.asarray(t), jnp.asarray(v), edges.twin)
+        aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
+            aset, batch_arcs, edges.twin)
+    print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
+    return PregraphResult(mini_table, None, edges, patch, aset, k,
+                          freq_hist=hist, n_distinct=n_distinct)
 
 
 def kmer_freq_histogram(table: dictionary.KmerTable,

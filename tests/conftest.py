@@ -23,6 +23,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# CLI runs take the dense pregraph path by default: the mesh-resident
+# path's routed-primitive compiles dominate on tiny fixtures (it is
+# covered explicitly by test_sharded_count / test_sharded_pregraph /
+# test_sharded_graph and the driver's dryrun_multichip).
+os.environ.setdefault("SOAPDENOVO_TPU_NO_SHARD", "1")
+
 import numpy as np
 import pytest
 

@@ -84,14 +84,20 @@ def test_sharded_pregraph_end_to_end(rng):
     from soapdenovo_trans_tpu.graph import unitigs
     from soapdenovo_trans_tpu.stages import pregraph as pg
 
+    # two isoforms sharing flanks: branch vertices + edge-crossing
+    # reads make the preArc comparison meaningful
+    a = "".join(rng.choice(list("ACGT"), size=120))
+    b = "".join(rng.choice(list("ACGT"), size=120))
+    c1 = "".join(rng.choice(list("ACGT"), size=40))
+    c2 = "".join(rng.choice(list("ACGT"), size=40))
     reads = []
-    t = "".join(rng.choice(list("ACGT"), size=300))
-    for i in range(0, 251, 5):
-        reads.append(t[i : i + 50])
-    codes = np.full((64, 50), 4, np.uint8)
-    lens = np.zeros(64, np.int32)
+    for t in (a + c1 + b, a + c2 + b):
+        for i in range(0, len(t) - 50 + 1, 4):
+            reads.append(t[i : i + 50])
+    codes = np.full((128, 50), 4, np.uint8)
+    lens = np.zeros(128, np.int32)
     from soapdenovo_trans_tpu.ops import bits
-    for i, s in enumerate(reads):
+    for i, s in enumerate(reads[:128]):
         codes[i, : len(s)] = bits.encode_seq(s)
         lens[i] = len(s)
 
@@ -99,11 +105,64 @@ def test_sharded_pregraph_end_to_end(rng):
         return iter([(codes, lens, 0)])
 
     single = pg.run_pregraph(factory, K, clip_tips=False)
-    mesh = Mesh(np.array(jax.devices()[:8]), (sharded_count.AXIS,))
-    sharded = pg.run_pregraph(factory, K, clip_tips=False, mesh=mesh)
-    n = int(single.table.n)
-    assert int(sharded.table.n) == n
-    assert np.array_equal(np.asarray(single.table.keys[:n]),
-                          np.asarray(sharded.table.keys[:n]))
-    assert int(single.edges.n_edges) == int(sharded.edges.n_edges)
-    assert int(single.arcs.n) == int(sharded.arcs.n)
+
+    from soapdenovo_trans_tpu.graph import unitigs
+
+    def edge_set(res):
+        return sorted(unitigs.edge_sequences(res.edges, res.table, K))
+
+    want = edge_set(single)
+    # identical edge sets at D=1, 2, 8 (VERDICT r2 item 2's invariance
+    # criterion); the sharded path returns only the mini endpoint
+    # table — the full table stays mesh-resident
+    assert int(single.arcs.n) > 0  # branch graph: arcs must exist
+    for d in (2, 8):
+        mesh = Mesh(np.array(jax.devices()[:d]), (sharded_count.AXIS,))
+        sharded = pg.run_pregraph(factory, K, clip_tips=False,
+                                  mesh=mesh)
+        assert sharded.graph is None  # no dense DBG materialized
+        assert sharded.n_distinct == single.n_distinct
+        assert edge_set(sharded) == want, f"D={d}"
+        assert int(sharded.arcs.n) == int(single.arcs.n), f"D={d}"
+        assert sharded.freq_hist is not None
+        hist = pg.kmer_freq_histogram(single.table)
+        assert np.array_equal(sharded.freq_hist, hist), f"D={d}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cli_pipeline_on_sharded_pregraph(rng, tmp_path, monkeypatch):
+    """Full CLI `all` with the mesh-resident pregraph enabled: same
+    contig set as the dense path on the same reads."""
+    import os
+
+    from soapdenovo_trans_tpu import cli
+    from soapdenovo_trans_tpu.io import fastx
+    from soapdenovo_trans_tpu.ops import bits
+    from tests.test_e2e import unique_kmer_seq, read_contig_fasta
+
+    t = unique_kmer_seq(rng, 300, 21)
+    reads = []
+    for i in range(0, len(t) - 50 + 1, 3):
+        r = t[i : i + 50]
+        reads.append(bits.revcomp_str(r) if rng.random() < 0.5 else r)
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", s) for i, s in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len=50\n[LIB]\nasm_flags=3\nf={fa}\n")
+
+    out_dense = os.path.join(str(tmp_path), "dense")
+    cli.main(["all", "-s", cfg, "-o", out_dense, "-K", "21"])
+
+    monkeypatch.delenv("SOAPDENOVO_TPU_NO_SHARD", raising=False)
+    out_shard = os.path.join(str(tmp_path), "shard")
+    cli.main(["all", "-s", cfg, "-o", out_shard, "-K", "21"])
+
+    def canon_set(path):
+        return {min(s, bits.revcomp_str(s))
+                for s in read_contig_fasta(path)}
+
+    assert canon_set(out_shard + ".contig") == \
+        canon_set(out_dense + ".contig")
+    assert canon_set(out_shard + ".scafSeq") == \
+        canon_set(out_dense + ".scafSeq")
