@@ -458,38 +458,32 @@ def run_map_cmd(args, ctg=None, table=None):
     last_of = np.concatenate(
         [g_read[1:] != g_read[:-1], np.ones(1, bool)]) \
         if g_read.size else np.zeros(0, bool)
-    with open(args.out + ".readOnContig", "w") as fh:
-        fh.write("read\tcontig\tpos\n")  # header (prlRead2Ctg.c:734)
-        pick = np.where((g_read + 1) % 2 == 1, last_of, first_of) \
-            if g_read.size else first_of
-        sel = np.nonzero(pick)[0]
-        for i in sel:
-            orien = "+" if g_same[i] else "-"
-            fh.write(f"{g_read[i] + 1}\t{g_ctg[i] + 1}\t"
-                     f"{g_off[i] - g_roff[i] + 1}\t{orien}\n")
     from .io import stagefiles
-    stagefiles.write_ctg2read(
+    orien_col = np.where(g_same, "+", "-")
+    pick = np.where((g_read + 1) % 2 == 1, last_of, first_of) \
+        if g_read.size else first_of
+    sel = np.nonzero(pick)[0]
+    stagefiles.write_placement_table(
+        args.out + ".readOnContig",
+        g_read[sel] + 1, g_ctg[sel] + 1,
+        g_off[sel] - g_roff[sel] + 1, orien_col[sel])
+    stagefiles.write_placement_table(
         args.out + ".ctg2Read",
-        [(int(g_read[i]) + 1, int(g_ctg[i]) + 1,
-          int(g_roff[i]) - int(g_off[i]), "+" if g_same[i] else "-")
-         for i in range(g_read.size)])
+        g_read + 1, g_ctg + 1, g_roff - g_off, orien_col)
     if getattr(args, "read_trace", False) or getattr(args, "rpkm", False):
         # .readInformation (reference prlRead2Ctg.c:575-588, -r/-R):
         # readno readOffset-1 ctg ctgOffset alignLen+K-1 orien, with
         # '-' rows flipped back to the stored-orientation contig
         full_np = np.asarray(full_len)
         twin_np = np.asarray(ctg.twin)
-        with open(args.out + ".readInformation", "w") as fh:
-            for i in range(g_read.size):
-                alen = int(g_aln[i]) + k - 1
-                if g_same[i]:
-                    fh.write(f"{g_read[i] + 1}\t{g_roff[i] - 1}\t"
-                             f"{g_ctg[i] + 1}\t{g_off[i]}\t{alen}\t+\n")
-                else:
-                    tw = int(twin_np[g_ctg[i]])
-                    off = int(full_np[g_ctg[i]]) - int(g_off[i]) - alen
-                    fh.write(f"{g_read[i] + 1}\t{g_roff[i] - 1}\t"
-                             f"{tw + 1}\t{off}\t{alen}\t-\n")
+        alen = g_aln + k - 1
+        safe_ctg = np.clip(g_ctg, 0, twin_np.shape[0] - 1)
+        ri_ctg = np.where(g_same, g_ctg, twin_np[safe_ctg]) + 1
+        ri_off = np.where(g_same, g_off,
+                          full_np[safe_ctg] - g_off - alen)
+        stagefiles.write_read_information(
+            args.out + ".readInformation",
+            g_read + 1, g_roff - 1, ri_ctg, ri_off, alen, orien_col)
         print(f"[map] wrote {args.out}.readInformation "
               f"({g_read.size} alignments)")
     if want_f:

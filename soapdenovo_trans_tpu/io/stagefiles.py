@@ -120,16 +120,42 @@ def write_pe_grads(path: str, grads, n_reads: int,
             fh.write(f"{ins}\t{bound}\t{rank}\t{cut}\n")
 
 
-def write_ctg2read(path: str, groups) -> None:
-    """.ctg2Read (reference recordAlldgn, prlRead2Ctg.c:570-574): one
-    line per qualifying (read, contig) alignment group —
-    'readno contig readOffset-contigOffset orien' — the
-    transcript stage's single-read linking input
-    (singleRead2connection, transcriptome.c:256)."""
+def _write_columns(path: str, header: str, cols) -> None:
+    """Batched tab-table writer: one pandas C-path to_csv call instead
+    of a Python fh.write per row (matters at 10M+ reads)."""
     with open(path, "w") as fh:
-        fh.write("read\tcontig\tpos\n")  # header (prlRead2Ctg.c:739)
-        for readno, ctg, delta, orien in groups:
-            fh.write(f"{readno}\t{ctg}\t{delta}\t{orien}\n")
+        if header is not None:
+            fh.write(header + "\n")
+        if len(cols[0]) == 0:
+            return
+        try:
+            import pandas as pd
+
+            pd.DataFrame(dict(enumerate(cols))).to_csv(
+                fh, sep="\t", header=False, index=False)
+        except ImportError:
+            for row in zip(*cols):
+                fh.write("\t".join(str(x) for x in row) + "\n")
+
+
+def write_placement_table(path: str, readno, ctg, pos, orien) -> None:
+    """.readOnContig / .ctg2Read (reference recordAlldgn,
+    prlRead2Ctg.c:565-574): 'readno contig pos orien' rows behind a
+    'read\\tcontig\\tpos' header (prlRead2Ctg.c:734,739).
+    .ctg2Read's pos column is readOffset-contigOffset — the transcript
+    stage's single-read linking input (singleRead2connection,
+    transcriptome.c:256)."""
+    _write_columns(path, "read\tcontig\tpos",
+                   (readno, ctg, pos, orien))
+
+
+def write_read_information(path: str, readno, read_off, ctg, ctg_off,
+                           align_len, orien) -> None:
+    """.readInformation (reference prlRead2Ctg.c:575-588, -r/-R).
+    No header — the reference's consumer sscanfs every line
+    (getReadOnScaf, ReadTrace.c:69)."""
+    _write_columns(path, None,
+                   (readno, read_off, ctg, ctg_off, align_len, orien))
 
 
 def write_read_in_gap(path: str, rows) -> None:

@@ -89,13 +89,30 @@ class ConnGraph:
         self.unique = unique
         self.out: Dict[int, Dict[int, dict]] = defaultdict(dict)
         self.into: Dict[int, Dict[int, dict]] = defaultdict(dict)
+        if conn is None:
+            return
         n = int(conn.n)
-        for i in range(n):
-            f, t = int(conn.from_ctg[i]), int(conn.to_ctg[i])
-            rec = {"gap": int(conn.gap[i]), "weight": int(conn.weight[i]),
-                   "se": int(conn.se_count[i]), "deleted": False}
-            self.out[f][t] = rec
-            self.into[t][f] = rec
+        # pull to numpy ONCE — per-row jnp scalar reads are ~1ms each
+        self._add_rows(np.asarray(conn.from_ctg[:n]),
+                       np.asarray(conn.to_ctg[:n]),
+                       np.asarray(conn.gap[:n]),
+                       np.asarray(conn.weight[:n]),
+                       np.asarray(conn.se_count[:n]))
+
+    @classmethod
+    def from_rows(cls, f, t, gap, wt, se, twin, ctg_len, unique):
+        g = cls(None, twin, ctg_len, unique)
+        g._add_rows(f, t, gap, wt, se)
+        return g
+
+    def _add_rows(self, f, t, gap, wt, se):
+        out, into = self.out, self.into
+        for fi, ti, gi, wi, si in zip(f.tolist(), t.tolist(),
+                                      gap.tolist(), wt.tolist(),
+                                      se.tolist()):
+            rec = {"gap": gi, "weight": wi, "se": si, "deleted": False}
+            out[fi][ti] = rec
+            into[ti][fi] = rec
 
     def delete(self, f, t, with_twin=True):
         rec = self.out.get(f, {}).get(t)
@@ -146,6 +163,115 @@ def delete_unlikely(g: ConnGraph, n_ctg: int, cut_off: int):
         for t, r in outs:
             if r["weight"] < kth:
                 g.delete(c, t)
+
+
+def _weak_mask(wt: np.ndarray, cutoff: int) -> np.ndarray:
+    """Vectorized deleteWeakCnt (transcriptome.c:470): rows with
+    0 < weight < cutoff die."""
+    return ~((wt > 0) & (wt < cutoff))
+
+
+def _unlikely_mask(f, t, wt, alive, unique, twin, n_ctg,
+                   cut_off: int) -> np.ndarray:
+    """Vectorized deleteUnlikelyCnt (-c, transcriptome.c:2202-2228):
+    for every NON-unique source with more than cut_off live links to
+    unique targets, keep the cut_off heaviest (twin rows die along,
+    like ConnGraph.delete)."""
+    if cut_off == 0 or cut_off > 10 or f.size == 0:
+        return alive
+    sel = alive & ~unique[f] & unique[t]
+    idx = np.nonzero(sel)[0]
+    if idx.size == 0:
+        return alive
+    order = np.lexsort((-wt[idx], f[idx]))
+    fi = f[idx][order]
+    wi = wt[idx][order]
+    start = np.concatenate([[True], fi[1:] != fi[:-1]])
+    group_start = np.maximum.accumulate(
+        np.where(start, np.arange(fi.size), 0))
+    rank = np.arange(fi.size) - group_start
+    # threshold per group = weight at rank cut_off-1 (desc order);
+    # groups smaller than cut_off never set one -> keep everything
+    seg = np.cumsum(start) - 1
+    kth_of_group = np.full(int(seg[-1]) + 1, -1, wi.dtype)
+    at_k = rank == cut_off - 1
+    kth_of_group[seg[at_k]] = wi[at_k]
+    kth = kth_of_group[seg]
+    doomed_local = (kth >= 0) & (wi < kth)
+    doomed_rows = idx[order][doomed_local]
+    alive = alive.copy()
+    alive[doomed_rows] = False
+    # twin rows: (twin[t], twin[f]) of each doomed row
+    key = f.astype(np.int64) * n_ctg + t
+    skey = np.argsort(key, kind="stable")
+    twin_key = twin[t[doomed_rows]].astype(np.int64) * n_ctg + \
+        twin[f[doomed_rows]]
+    pos = np.searchsorted(key[skey], twin_key)
+    pos = np.clip(pos, 0, key.size - 1)
+    hit = key[skey[pos]] == twin_key
+    alive[skey[pos][hit]] = False
+    return alive
+
+
+def _components(f, t, twin, n_ctg: int):
+    """Undirected connected components over twin-pair representatives
+    (label propagation with pointer jumping).  Returns (n,) labels
+    (min member rep) over contigs, -1 where untouched."""
+    rep = np.minimum(np.arange(n_ctg), twin)
+    lbl = np.arange(n_ctg, dtype=np.int64)
+    rf = rep[f]
+    rt = rep[t]
+    for _ in range(64):
+        m = np.minimum(lbl[rf], lbl[rt])
+        before = lbl.copy()
+        np.minimum.at(lbl, rf, m)
+        np.minimum.at(lbl, rt, m)
+        lbl = np.minimum(lbl, lbl[lbl])
+        lbl = lbl[lbl]
+        if np.array_equal(lbl, before):
+            break
+    touched = np.zeros(n_ctg, bool)
+    touched[rf] = True
+    touched[rt] = True
+    touched |= touched[twin]
+    lbl = lbl[rep]  # contigs share their rep's label
+    return np.where(touched, lbl, -1)
+
+
+def _oriented_locus(g: ConnGraph, members: List[int],
+                    twin) -> List[int]:
+    """Oriented membership of one component: BFS from the smallest
+    member row in its stored orientation (matches get_loci's
+    ascending-row seed + claim-the-twin exploration)."""
+    member_set = set(members) | {int(twin[c]) for c in members}
+    visited = set()
+    comp: List[int] = []
+    for seed in sorted(members):
+        if seed in visited or int(twin[seed]) in visited:
+            continue
+        if not g.out_live(seed) and not g.in_live(seed):
+            visited.add(seed)
+            visited.add(int(twin[seed]))
+            continue
+        stack = [seed]
+        visited.add(seed)
+        visited.add(int(twin[seed]))
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            nbrs = [t for t, _ in g.out_live(x)] + \
+                   [f for f, _ in g.in_live(x)] + \
+                   [int(twin[t]) for t, _ in
+                    g.out_live(int(twin[x]))] + \
+                   [int(twin[f]) for f, _ in
+                    g.in_live(int(twin[x]))]
+            for t in nbrs:
+                if t not in visited and int(twin[t]) not in visited \
+                        and t in member_set:
+                    visited.add(t)
+                    visited.add(int(twin[t]))
+                    stack.append(t)
+    return comp
 
 
 def get_loci(g: ConnGraph, n_ctg: int) -> List[List[int]]:
@@ -373,10 +499,12 @@ def _topo_order(g: ConnGraph, locus: List[int]) -> List[int]:
     return order
 
 
-def build_transcripts(g: ConnGraph, loci: List[List[int]], cvg,
+def build_transcripts(graph_loci, cvg,
                       params: ScaffParams) -> List[Transcript]:
+    """graph_loci: [(ConnGraph, oriented locus member list)] — each
+    locus carries the (possibly per-component mini) graph it lives in."""
     out: List[Transcript] = []
-    for li, locus in enumerate(loci):
+    for li, (g, locus) in enumerate(graph_loci):
         kind = classify(g, locus)
         if kind == COMPLEX and len(locus) > params.max_step:
             paths = heaviest_paths(g, locus, cvg, params)
@@ -391,6 +519,93 @@ def build_transcripts(g: ConnGraph, loci: List[List[int]], cvg,
                 gaps.append(int(rec["gap"]) if rec else 0)
             out.append(Transcript(li, pi, kind, path, gaps))
     return out
+
+
+def _loci_in(g: ConnGraph, candidates, twin) -> List[List[int]]:
+    """get_loci's oriented-component walk restricted to a candidate
+    contig list (used per mini graph; candidates are the component's
+    directed endpoints, ascending)."""
+    visited = set()
+    loci: List[List[int]] = []
+    for seed in candidates:
+        if seed in visited or not g.unique[seed]:
+            continue
+        if not g.out_live(seed) and not g.in_live(seed):
+            visited.add(seed)
+            visited.add(int(twin[seed]))
+            continue
+        comp, stack = [], [seed]
+        visited.add(seed)
+        visited.add(int(twin[seed]))
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            nbrs = [t for t, _ in g.out_live(x)] + \
+                   [f for f, _ in g.in_live(x)] + \
+                   [int(twin[t]) for t, _ in
+                    g.out_live(int(twin[x]))] + \
+                   [int(twin[f]) for f, _ in
+                    g.in_live(int(twin[x]))]
+            for t in nbrs:
+                if t not in visited and g.unique[t]:
+                    visited.add(t)
+                    visited.add(int(twin[t]))
+                    stack.append(t)
+        loci.append(comp)
+    return loci
+
+
+def build_structure(conn, twin, full_len, unique, cvg,
+                    params: ScaffParams) -> List[Transcript]:
+    """The transcriptome() structure phase (transcriptome.c:2223-2345),
+    scaled: weak/unlikely filters and connected components run
+    vectorized over the COO connection arrays; the per-locus graph
+    surgery (linearize/deleteInconsistent/avoidLoop) builds a small
+    dict graph per component only — no global dict graph, no global
+    per-contig scans."""
+    n_rows = int(conn.n)
+    n_ctg_rows = full_len.shape[0]
+    f = np.asarray(conn.from_ctg[:n_rows]).astype(np.int64)
+    t = np.asarray(conn.to_ctg[:n_rows]).astype(np.int64)
+    gap = np.asarray(conn.gap[:n_rows])
+    wt = np.asarray(conn.weight[:n_rows])
+    se = np.asarray(conn.se_count[:n_rows])
+    ok = (f >= 0) & (t >= 0)
+    f, t, gap, wt, se = f[ok], t[ok], gap[ok], wt[ok], se[ok]
+    twin = np.asarray(twin).astype(np.int64)
+
+    alive = _weak_mask(wt, params.weak_cnt)
+    alive = _unlikely_mask(f, t, wt, alive, unique, twin, n_ctg_rows,
+                           params.max_cnt)
+    uu = alive & unique[f] & unique[t]
+    lbl = _components(f[uu], t[uu], twin, n_ctg_rows)
+
+    comp_of_row = lbl[np.minimum(f, twin[f])]
+    rows = np.nonzero(uu & (comp_of_row >= 0))[0]
+    order = rows[np.argsort(comp_of_row[rows], kind="stable")]
+    comp_sorted = comp_of_row[order]
+    starts = np.concatenate(
+        [[0], np.nonzero(comp_sorted[1:] != comp_sorted[:-1])[0] + 1,
+         [order.size]])
+
+    graph_loci = []
+    for gi in range(starts.size - 1):
+        rr = order[starts[gi]:starts[gi + 1]]
+        gl = ConnGraph.from_rows(
+            f[rr], t[rr], gap[rr], wt[rr], se[rr], twin, full_len,
+            unique)
+        cands = sorted(set(f[rr].tolist()) | set(t[rr].tolist()))
+        for locus in _loci_in(gl, cands, twin):
+            linearize(gl, locus, params)
+            delete_inconsistent(gl, locus)
+            avoid_loops(gl, locus)
+            linearize(gl, locus, params)
+        # loci recomputed after cleanup — components split by
+        # deleteInconsistent/avoidLoop become separate loci
+        # (transcriptome.c:2256-2266)
+        for locus in _loci_in(gl, cands, twin):
+            graph_loci.append((gl, locus))
+    return build_transcripts(graph_loci, cvg, params)
 
 
 def transcript_sequences(transcripts: List[Transcript], seqs: List[str],
@@ -532,21 +747,9 @@ def run_scaff(contigs, conn, k: int, table,
     else:
         unique = np.zeros(contigs.length.shape[0], bool)
         unique[:n_ctg] = full_len[:n_ctg] >= params.min_unique_len
-        g = ConnGraph(conn, twin, full_len, unique)
-        delete_weak(g, params.weak_cnt)
-        loci = get_loci(g, n_ctg)
-        for locus in loci:
-            linearize(g, locus, params)
-            delete_inconsistent(g, locus)
-            avoid_loops(g, locus)
-            linearize(g, locus, params)
-        delete_unlikely(g, n_ctg, params.max_cnt)
-        # loci are recomputed after cleanup — components split by
-        # deleteInconsistent/avoidLoop/-c become separate loci
-        # (transcriptome.c:2256-2266).
-        loci = get_loci(g, n_ctg)
-        transcripts = build_transcripts(
-            g, loci, np.asarray(contigs.cvg), params)
+        transcripts = build_structure(
+            conn, twin, full_len, unique, np.asarray(contigs.cvg),
+            params)
 
     seqs = contig_merge.contig_sequences(contigs, table, k)
     used = np.zeros(contigs.length.shape[0], bool)
@@ -782,17 +985,18 @@ def record_membership(recs: List[Tuple[str, str]],
 def reads_on_scaffolds(read_ctg: np.ndarray, read_pos: np.ndarray,
                        owner: Dict[int, int], n_records: int):
     """read -> record index (reference getReadOnScaf, ReadTrace.c:41).
-    Returns (per-read record idx or -1, per-record hit counts)."""
-    rec_of = np.full(len(read_ctg), -1, np.int64)
-    hits = np.zeros(n_records, np.int64)
-    for i, c in enumerate(read_ctg):
-        if c < 0:
-            continue
-        ri = owner.get(int(c), -1)
-        rec_of[i] = ri
-        if ri >= 0:
-            hits[ri] += 1
-    return rec_of, hits
+    Returns (per-read record idx or -1, per-record hit counts).
+    Vectorized: the owner map becomes a dense lookup array."""
+    read_ctg = np.asarray(read_ctg)
+    hi = max([c for c in owner] + [int(read_ctg.max(initial=0))]) + 1
+    owner_arr = np.full(hi + 1, -1, np.int64)
+    for c, ri in owner.items():
+        owner_arr[c] = ri
+    rec_of = np.where(
+        read_ctg >= 0,
+        owner_arr[np.clip(read_ctg, 0, hi)], -1)
+    hits = np.bincount(rec_of[rec_of >= 0], minlength=n_records)
+    return rec_of, hits.astype(np.int64)
 
 
 def rpkm_table(recs: List[Tuple[str, str]], hits: np.ndarray

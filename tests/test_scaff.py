@@ -253,3 +253,77 @@ def test_heaviest_paths_includes_row0():
     cvg = np.array([10.0, 50.0, 10.0, 0, 0, 0])
     paths = scaff.heaviest_paths(g, [0, 1, 2], cvg, scaff.ScaffParams())
     assert [0, 1, 2] in paths
+
+
+def test_build_structure_matches_dict_path(rng):
+    """The vectorized structure phase (build_structure: COO masks +
+    label-prop components + per-locus mini graphs) must produce the
+    same transcript set as the legacy global-dict pipeline."""
+    rng2 = np.random.default_rng(77)
+    n_ctg = 400
+    twin = np.arange(n_ctg, dtype=np.int64) ^ 1
+    full_len = rng2.integers(80, 400, n_ctg // 2).repeat(2)
+    unique = full_len >= 100
+    # random sparse twin-symmetric connections
+    n_conn = 300
+    f = rng2.integers(0, n_ctg, n_conn)
+    t = rng2.integers(0, n_ctg, n_conn)
+    keep = (f != t) & (twin[f] != t)
+    f, t = f[keep], t[keep]
+    w = rng2.integers(1, 12, f.shape[0])
+    g_ = rng2.integers(-30, 150, f.shape[0])
+    fa = np.concatenate([f, twin[t]])
+    ta = np.concatenate([t, twin[f]])
+    ga = np.concatenate([g_, g_])
+    wa = np.concatenate([w, w])
+
+    class C:
+        n = fa.shape[0]
+        from_ctg = fa
+        to_ctg = ta
+        gap = ga
+        weight = wa
+        se_count = np.zeros(fa.shape[0], np.int64)
+
+    params = scaff.ScaffParams(max_cnt=2)
+    cvg = rng2.integers(1, 100, n_ctg)
+
+    # legacy global-dict pipeline
+    gd = scaff.ConnGraph(C(), twin, full_len, unique)
+    scaff.delete_weak(gd, params.weak_cnt)
+    loci = scaff.get_loci(gd, n_ctg)
+    for locus in loci:
+        scaff.linearize(gd, locus, params)
+        scaff.delete_inconsistent(gd, locus)
+        scaff.avoid_loops(gd, locus)
+        scaff.linearize(gd, locus, params)
+    scaff.delete_unlikely(gd, n_ctg, params.max_cnt)
+    loci = scaff.get_loci(gd, n_ctg)
+    legacy = scaff.build_transcripts(
+        [(gd, locus) for locus in loci], cvg, params)
+
+    fast = scaff.build_structure(C(), twin, full_len, unique, cvg,
+                                 params)
+
+    def key(trs):
+        return sorted((tuple(tr.contigs), tr.kind, tuple(tr.gaps))
+                      for tr in trs)
+
+    assert key(fast) == key(legacy)
+
+
+def test_unlikely_mask_matches_dict(rng):
+    """_unlikely_mask == delete_unlikely on the hub fixture (top-k
+    kept, twins die along)."""
+    twin = np.arange(8, dtype=np.int64)
+    unique = np.array([False, True, True, True] + [True] * 4)
+    f = np.array([0, 0, 0], np.int64)
+    t = np.array([1, 2, 3], np.int64)
+    wt = np.array([9, 5, 2])
+    alive = np.ones(3, bool)
+    out = scaff._unlikely_mask(f, t, wt, alive, unique, twin, 8, 2)
+    assert out.tolist() == [True, True, False]
+    # off values keep everything
+    for off in (0, 11):
+        assert scaff._unlikely_mask(
+            f, t, wt, alive, unique, twin, 8, off).all()
