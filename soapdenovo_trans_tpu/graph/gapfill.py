@@ -5,7 +5,10 @@ traceAlongDBgraph :564) driven by prlReadFillGap.c (check1scaf :707,
 fill1scaf :739).  The reference fills each scaffold gap by building a
 tiny k-mer graph from the reads assigned to that gap plus the two
 flanking contig ends, then DFS-walking from the left flank's tail
-k-mer to the right flank's head k-mer inside a distance window.
+k-mer to the right flank's head k-mer inside a distance window, with
+repeat masking (trace4Repeat :1052-1261) and tandem masking
+(kmerSet_markTandem :1603) to keep the DFS from cycling, and a
+single-read fallback when the graph walk fails (readsCrossGap :2035).
 
 TPU-native reformulation: all gaps are assembled simultaneously.
 
@@ -14,12 +17,21 @@ TPU-native reformulation: all gaps are assembled simultaneously.
 * One sort of (gap_id, kmer) builds every per-gap k-mer table at once
   (gap id is the leading key word, so each gap's slice is contiguous
   and a single global binary search answers per-gap lookups).
-* The walk is a `lax.scan` over steps, advancing ALL gaps in
-  lock-step: at each step the 4 candidate next k-mers are looked up
-  (4 vectorized binary searches) and the heaviest-coverage present
-  base is taken (greedy heaviest-extension; the reference's bounded
-  DFS reduces to this on non-repetitive gaps — ties and dead ends
-  terminate the walk, matching its trace-limit bail-outs).
+* The walk is a bounded-window SHORTEST PATH, not a DFS: every table
+  row becomes two directed nodes (canonical row x orientation, like
+  graph/dbg.py), one batched lookup resolves all successors, and two
+  lock-step BFS waves (forward from each gap's start k-mer, forward
+  from the twin of its target = backward from the target) give
+  distance-from-start and distance-to-target for every node at once.
+  A gap is accepted when the start->target distance lands in the gap
+  window; the sequence is traced by descending distance-to-target
+  (coverage breaks ties).  BFS never revisits a node, so the
+  reference's repeat/tandem masking is subsumed: cycles are simply
+  never taken, and branch decoys cannot trap the walk the way they
+  trap greedy extension.
+* readsCrossGap fallback: a single gap read anchored by exact K-mers
+  on both flank ends bridges gaps the graph walk cannot
+  (localAsm.c:2035).
 
 Negative/overlap gaps are handled separately on the host by direct
 flank overlap matching (reference procGap/contigCatch,
@@ -120,50 +132,111 @@ def _lookup_counts(tables: LocalTables, queries: jnp.ndarray
     return jnp.where(hit, tables.count[g], 0)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def greedy_walk(tables: LocalTables, start, target, gap_id,
-                k: int, max_steps: int):
-    """Walk every gap simultaneously from its start k-mer.
+def _lookup_rows(tables: LocalTables, queries: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """(M, 1+W) queries -> (M,) table row index or -1."""
+    cap = tables.keys.shape[0]
+    m = queries.shape[0]
+    steps = max(cap.bit_length(), 1)
+    lo = jnp.zeros(m, jnp.int32)
+    hi = jnp.full(m, cap, jnp.int32)
 
-    start/target: (G, W) uint32 *directed* k-mers (not canonical —
-    canonicalization happens per lookup).  Returns
-    (bases (max_steps, G) uint8, hit_step (G,) int32 — steps taken
-    when the target was reached, or -1)."""
-    g_n, w = start.shape
+    def step(_, carry):
+        lo, hi = carry
+        live = lo < hi
+        mid = (lo + hi) >> 1
+        row = tables.keys[jnp.clip(mid, 0, cap - 1)]
+        less = _lex_less(row, queries)
+        return (jnp.where(live & less, mid + 1, lo),
+                jnp.where(live & ~less, mid, hi))
 
-    def lookup4(cur):
-        # candidates for each base b: next = shift-in(b)
-        cands = [bits.next_kmer(cur, jnp.full(g_n, b, jnp.uint32), k)
-                 for b in range(4)]
-        counts = []
-        for b in range(4):
-            can, _ = bits.canonical(cands[b], k)
-            q = jnp.concatenate(
-                [gap_id.astype(jnp.uint32)[:, None], can], axis=-1)
-            counts.append(_lookup_counts(tables, q))
-        return cands, jnp.stack(counts, axis=-1)  # (G, 4)
+    lo, _ = jax.lax.fori_loop(0, steps, step, (lo, hi))
+    g = jnp.clip(lo, 0, cap - 1)
+    hit = (lo < cap) & jnp.all(tables.keys[g] == queries, axis=-1)
+    return jnp.where(hit, lo, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _local_graph(tables: LocalTables, k: int):
+    """Directed successor grid over the batched tables: table row r
+    yields directed nodes u = 2r (canonical fwd) and 2r+1 (revcomp).
+    Returns (succ (2cap, 4) int32 directed node or -1,
+             ncount (2cap, 4) int32 successor-row occurrence count).
+    Lookups are gap-scoped (the gap id is the leading key word), so
+    no edge crosses gaps."""
+    cap = tables.keys.shape[0]
+    gap_word = tables.keys[:, :1]
+    keys = tables.keys[:, 1:]
+    w = keys.shape[-1]
+    rc = bits.reverse_complement(keys, k)
+    oriented = jnp.stack([keys, rc], axis=1).reshape(2 * cap, w)
+    base4 = jnp.arange(4, dtype=jnp.uint32)
+    ext = bits.next_kmer(
+        jnp.broadcast_to(oriented[:, None, :], (2 * cap, 4, w)),
+        jnp.broadcast_to(base4, (2 * cap, 4)), k)
+    can, use_rc = bits.canonical(ext.reshape(-1, w), k)
+    gq = jnp.repeat(gap_word, 8, axis=0)   # (2cap*4, 1)
+    q = jnp.concatenate([gq, can], axis=-1)
+    rows = _lookup_rows(tables, q)
+    succ = jnp.where(rows >= 0,
+                     2 * rows + use_rc.astype(jnp.int32), -1)
+    ncount = jnp.where(rows >= 0,
+                       tables.count[jnp.clip(rows, 0)], 0)
+    return succ.reshape(2 * cap, 4), ncount.reshape(2 * cap, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _bfs(succ, start_nodes, max_steps: int):
+    """Lock-step BFS over the directed grid: dist (2cap,) int32 from
+    the given start nodes (-1 start = inactive gap), -1 unreachable.
+    All gaps advance together; edges never cross gaps."""
+    n = succ.shape[0]
+    dist = jnp.full(n, -1, jnp.int32)
+    dist = dist.at[jnp.where(start_nodes >= 0, start_nodes, n)].set(
+        0, mode="drop")
+
+    def body(t, dist):
+        cur = dist == t
+        idx = jnp.where(cur[:, None] & (succ >= 0), succ, n)
+        nxt = jnp.zeros(n + 1, bool).at[idx.reshape(-1)].set(
+            True, mode="drop")[:n]
+        return jnp.where(nxt & (dist < 0), t + 1, dist)
+
+    return jax.lax.fori_loop(0, max_steps, body, dist)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _trace(succ, ncount, dist_to_target, start_nodes, target_nodes,
+           max_steps: int):
+    """Per gap, walk from start following strictly decreasing
+    distance-to-target (coverage breaks ties).  Returns
+    (bases (max_steps, G) uint8, ok (G,) bool)."""
+    n = succ.shape[0]
+
+    def g1(x, idx, fill):
+        return jnp.where(idx >= 0, x[jnp.clip(idx, 0, n - 1)], fill)
 
     def step_fn(carry, _):
-        cur, done, hit_step, step_i = carry
-        cands, counts = lookup4(cur)
-        best = jnp.argmax(counts, axis=-1).astype(jnp.uint8)
-        best_cnt = jnp.max(counts, axis=-1)
-        dead = best_cnt <= 0
-        nxt = cands[0]
-        for b in range(1, 4):
-            nxt = jnp.where((best == b)[:, None], cands[b], nxt)
-        reached = jnp.all(nxt == target, axis=-1) & ~done
-        hit_step = jnp.where(reached, step_i + 1, hit_step)
-        done = done | dead | reached
-        cur = jnp.where(done[:, None], cur, nxt)
-        emit = jnp.where(done & ~reached, jnp.uint8(255), best)
-        return (cur, done, hit_step, step_i + 1), emit
+        cur, done = carry
+        d = g1(dist_to_target, cur, -1)
+        vs = succ[jnp.clip(cur, 0, n - 1)]          # (G, 4)
+        dv = jnp.where(vs >= 0,
+                       dist_to_target[jnp.clip(vs, 0, n - 1)], -1)
+        ok_b = (dv == d[:, None] - 1) & (dv >= 0)
+        score = jnp.where(ok_b, ncount[jnp.clip(cur, 0, n - 1)], -1)
+        best = jnp.argmax(score, axis=-1)
+        has = jnp.max(score, axis=-1) > -1
+        nxt = jnp.take_along_axis(vs, best[:, None], axis=-1)[:, 0]
+        emit = jnp.where(done | ~has, jnp.uint8(255),
+                         best.astype(jnp.uint8))
+        cur = jnp.where(done | ~has, cur, nxt)
+        done = done | ~has | (cur == target_nodes)
+        return (cur, done), emit
 
-    init = (start, jnp.zeros(g_n, bool), jnp.full(g_n, -1, jnp.int32),
-            jnp.int32(0))
-    (_, _, hit_step, _), bases = jax.lax.scan(
-        step_fn, init, None, length=max_steps)
-    return bases, hit_step
+    init = (start_nodes, start_nodes == target_nodes)
+    (cur, done), bases = jax.lax.scan(step_fn, init, None,
+                                      length=max_steps)
+    return bases, cur == target_nodes
 
 
 def try_overlap_merge(left: str, right: str, gap: int,
@@ -257,32 +330,81 @@ def fill_gaps(junctions: List[Tuple[str, str, int]],
     n_rows = stream.kmers.shape[0]
     cap = 1 << max(int(n_rows - 1).bit_length(), 7)
     tables = build_local_tables(kgid, stream.kmers, stream.valid, cap)
+    succ, ncount = _local_graph(tables, k)
 
-    start = np.zeros((len(need_asm), w), np.uint32)
-    target = np.zeros((len(need_asm), w), np.uint32)
+    g_slots = len(need_asm)
+    start = np.zeros((g_slots, w), np.uint32)
+    target = np.zeros((g_slots, w), np.uint32)
     for slot, gi in enumerate(need_asm):
         left, right, _ = junctions[gi]
         start[slot] = bits.kmer_from_string(left[-k:])[:w]
         target[slot] = bits.kmer_from_string(right[:k])[:w]
-    bases, hit_step = greedy_walk(
-        tables, jnp.asarray(start), jnp.asarray(target),
-        jnp.arange(len(need_asm), dtype=jnp.int32), k, max_steps)
+    gap_ids = jnp.arange(g_slots, dtype=jnp.uint32)[:, None]
+
+    def node_of(kmers_np):
+        can, use_rc = bits.canonical(jnp.asarray(kmers_np), k)
+        rows = _lookup_rows(
+            tables, jnp.concatenate([gap_ids, can], axis=-1))
+        return jnp.where(rows >= 0,
+                         2 * rows + use_rc.astype(jnp.int32), -1)
+
+    node_s = node_of(start)
+    node_t = node_of(target)
+    ds = _bfs(succ, node_s, max_steps)
+    # dist-to-target = dist from twin(target) over the same graph,
+    # read at the twin node (standard DBG duality)
+    dt_twin = _bfs(succ, jnp.where(node_t >= 0, node_t ^ 1, -1),
+                   max_steps)
+    two_cap = succ.shape[0]
+    dt = dt_twin.reshape(two_cap // 2, 2)[:, ::-1].reshape(two_cap)
+    l0 = np.asarray(
+        jnp.where(node_t >= 0,
+                  ds[jnp.clip(node_t, 0)], -1))  # shortest walk length
+    bases, traced_ok = _trace(succ, ncount, jnp.asarray(dt), node_s,
+                              node_t, max_steps)
     bases = np.asarray(bases)      # (max_steps, slots)
-    hit_step = np.asarray(hit_step)
+    traced_ok = np.asarray(traced_ok)
 
     for slot, gi in enumerate(need_asm):
-        hs = int(hit_step[slot])
-        if hs < 0:
-            continue
+        length = int(l0[slot])
         gap = junctions[gi][2]
-        # walked sequence includes the K bases overlapping right's head
-        ins_len = hs - k
-        if abs(max(ins_len, -k) - gap) > tol + k:
-            continue  # outside the distance window: reject
+        ins_len = length - k
+        if length < 0 or not traced_ok[slot] or \
+                abs(max(ins_len, -k) - gap) > tol + k:
+            continue  # unreachable or outside the distance window
         filled[gi] = True
         if ins_len >= 0:
             fill_seq[gi] = "".join("ACTG"[b] for b in bases[:ins_len, slot])
         else:
             overlap[gi] = -ins_len  # walk met right's head early:
             # contigs overlap by -ins_len bases
+
+    # --- readsCrossGap fallback (localAsm.c:2035): a single read
+    # anchored by exact K-mers on both flanks bridges the gap ---
+    for slot, gi in enumerate(need_asm):
+        if filled[gi]:
+            continue
+        left, right, gap = junctions[gi]
+        anchor_l = left[-k:]
+        anchor_r = right[:k]
+        rds = gap_reads[gi] if gi < len(gap_reads) else None
+        if rds is None:
+            continue
+        for rd in rds:
+            s = bits.decode_seq(np.asarray(rd, np.uint8))
+            for seq in (s, bits.revcomp_str(s)):
+                i = seq.find(anchor_l)
+                if i < 0:
+                    continue
+                j = seq.find(anchor_r, i + 1)
+                if j < 0:
+                    continue
+                ins = seq[i + k : j]
+                if abs(len(ins) - gap) > tol + k:
+                    continue
+                filled[gi] = True
+                fill_seq[gi] = ins
+                break
+            if filled[gi]:
+                break
     return GapFillResult(filled, fill_seq, overlap)

@@ -91,3 +91,45 @@ def test_gap_size_window_rejects(rng):
     # declared gap wildly off -> outside tol + K window -> rejected
     res = gapfill.fill_gaps([(left, right, 500)], [reads], K, tol=50)
     assert not res.filled[0]
+
+
+def test_tangled_gap_decoy_branch(rng):
+    """A high-coverage decoy branch inside the gap traps greedy
+    heaviest-extension; the bounded-window shortest-path walk routes
+    to the target regardless (reference escapes via bounded DFS with
+    repeat masking, localAsm.c:564,1052-1261)."""
+    left = _rand_seq(rng, 70)
+    gap = _rand_seq(rng, 30)
+    right = _rand_seq(rng, 70)
+    region = left[-40:] + gap + right[:40]
+    reads = [np.asarray(bits.encode_seq(r), np.uint8)
+             for r in _reads_over(region, stride=4)]
+    # decoy: shares the first 10bp of the gap then diverges to a dead
+    # end, at 8x the coverage of the true path
+    decoy = left[-20:] + gap[:10] + _rand_seq(rng, 30)
+    for _ in range(8):
+        for r in _reads_over(decoy, stride=4):
+            reads.append(np.asarray(bits.encode_seq(r), np.uint8))
+    res = gapfill.fill_gaps([(left, right, len(gap))], [reads], K)
+    assert res.filled[0]
+    assert res.fill_seq[0] == gap
+
+
+def test_reads_cross_gap_fallback(rng):
+    """Graph walk broken (an N inside the gap kills its k-mers): a
+    single spanning read anchored by exact K-mers on both flanks
+    bridges the gap (readsCrossGap, localAsm.c:2035)."""
+    left = _rand_seq(rng, 70)
+    gap = _rand_seq(rng, 12) + "N" + _rand_seq(rng, 12)
+    right = _rand_seq(rng, 70)
+    span = left[-K:] + gap + right[:K]
+    reads = [np.asarray(bits.encode_seq(span), np.uint8)]
+    res = gapfill.fill_gaps([(left, right, len(gap))], [reads], K)
+    assert res.filled[0]
+    assert res.fill_seq[0] == gap
+    # and the reverse-complement spanning read works too
+    reads_rc = [np.asarray(bits.encode_seq(bits.revcomp_str(span)),
+                           np.uint8)]
+    res2 = gapfill.fill_gaps([(left, right, len(gap))], [reads_rc], K)
+    assert res2.filled[0]
+    assert res2.fill_seq[0] == gap
