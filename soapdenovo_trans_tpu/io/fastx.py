@@ -107,6 +107,36 @@ def encode_read(s: str, max_len: int, reverse: bool) -> np.ndarray:
     return codes[:max_len]
 
 
+def _prefetch(it, depth: int = 2):
+    """Double-buffered read-ahead: decode the next batches on a
+    background thread while the caller computes/moves the current one
+    — the aio analog (reference initAIO/AIORead,
+    prlHashReads.c:709-806).  Both batch producers allocate fresh
+    buffers per yield, so handing them across the thread is safe."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+            q.put(sentinel)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is sentinel:
+            return
+        if isinstance(x, BaseException):
+            raise x
+        yield x
+
+
 def config_read_batches(
     cfg: Config,
     batch_size: int,
@@ -120,8 +150,19 @@ def config_read_batches(
     The final batch of each library is zero-padded to batch_size so
     batch shapes stay static; padded rows have length 0.  Reads are
     globally ordered lib-by-lib with pairs adjacent, preserving the
-    reference's read numbering for PE pairing.
+    reference's read numbering for PE pairing.  Decoding runs on a
+    read-ahead thread (see _prefetch).
     """
+    return _prefetch(_config_read_batches(
+        cfg, batch_size, max_len=max_len, purpose=purpose))
+
+
+def _config_read_batches(
+    cfg: Config,
+    batch_size: int,
+    max_len: int | None = None,
+    purpose: int = 1,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
     max_len = max_len or cfg.max_rd_len
     for li, lib in enumerate(cfg.libs):
         if not (lib.asm_flags & purpose):
@@ -129,15 +170,16 @@ def config_read_batches(
         cutoff = lib.rd_len_cutoff or max_len
         eff_len = min(max_len, cutoff)
 
-        # Fast path: libraries made only of single-stream text sources
-        # (singles and pre-interleaved `p` pairs) with no on-input
-        # transform stream through the native C++ decoder.
+        # Fast path: libraries made only of single-stream sources
+        # (BAM, singles and pre-interleaved `p` pairs) with no
+        # on-input transform stream through the native C++ decoder;
+        # source order matches lib_reads (b, p, f, q).
         from . import native
 
-        simple = (not lib.f1 and not lib.q1 and not lib.b and
+        simple = (not lib.f1 and not lib.q1 and
                   not lib.reverse_seq and native.available())
         if simple:
-            for path in list(lib.p) + lib.f + lib.q:
+            for path in lib.b + list(lib.p) + lib.f + lib.q:
                 for codes, lens in native_iter(path, batch_size, eff_len):
                     yield codes, lens, li
             continue

@@ -134,3 +134,52 @@ def test_native_decoder_matches_python(tmp_path):
         for i, s in enumerate(reads):
             assert lengths[i] == min(len(s), 20)
         break
+
+
+def test_native_bam_matches_python(tmp_path):
+    """The C++ BAM path (csrc/fastx_decoder.cpp) must agree with the
+    pure-Python reader on sequences, flag filtering
+    (0x100/0x200/0x400/0x800 dropped — a deliberate, documented delta
+    vs the reference's read1seqbam, whose default samtools filter
+    drops nothing; see io/bam.py) and 0x10 reverse-complementation."""
+    from soapdenovo_trans_tpu.io import native
+    from soapdenovo_trans_tpu.ops import bits
+
+    if not native.available():
+        pytest.skip("no g++/zlib toolchain")
+    p = str(tmp_path / "t.bam")
+    rng = np.random.default_rng(9)
+    records = []
+    for i in range(37):
+        seq = "".join("ACGTN"[j] for j in rng.integers(0, 5, 20 + i % 7))
+        flag = [0, 0x10, 0x100, 0x200, 0x400, 0x800][i % 6]
+        records.append((seq, flag))
+    _write_fake_bam(p, records)
+
+    want = list(bam.read_bam(p))
+    assert want  # keeps 0 and 0x10 records only
+
+    got = []
+    for codes, lens in native.read_batches(p, 8, 40):
+        for r in range(codes.shape[0]):
+            if lens[r] > 0:
+                got.append(bits.decode_seq(codes[r, : lens[r]]))
+    assert got == want
+
+
+def test_native_bam_through_config(tmp_path):
+    """b= libraries stream through the native decoder when available
+    and produce the same batches as the Python fallback."""
+    from soapdenovo_trans_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no g++/zlib toolchain")
+    p = str(tmp_path / "t.bam")
+    _write_fake_bam(p, [("ACGTACGTACGTACGTACGT", 0)] * 5 +
+                       [("TTTTTTTTTTGGGGGGGGGG", 0x200)])
+    cfg = tmp_path / "t.config"
+    cfg.write_text(f"max_rd_len=30\n[LIB]\nasm_flags=3\nb={p}\n")
+    c = libconfig.parse_config(str(cfg))
+    batches = list(fastx.config_read_batches(c, batch_size=4))
+    total = sum(int((np.asarray(l) > 0).sum()) for _, l, _ in batches)
+    assert total == 5  # QC-fail record dropped
