@@ -51,6 +51,12 @@ def build_parser():
                     help="count N-containing kmer windows under one "
                          "sentinel entry (reference N_kmer/InvalidKmer, "
                          "prlHashReads.c:207)")
+    pg.add_argument("-R", dest="reps_tie", action="store_true",
+                    help="record read paths: .path + .markOnEdge "
+                         "(recordPathBin, prlRead2path.c:507; the "
+                         "reference's own -R case is commented out, "
+                         "pregraph.c:149-151 — these files are "
+                         "unreachable there)")
 
     cg = sub.add_parser("contig", help="edge graph -> contigs")
     cg.add_argument("-g", dest="out", required=True)
@@ -232,9 +238,27 @@ def run_pregraph_cmd(args):
               f"{len(jax.devices())} devices")
     n_kmer = getattr(args, "n_kmer", False)
     factory = _read_batches(cfg, n_kmer_k=args.k if n_kmer else 0)
+    recorders = []
+
+    def _recorder_factory(edges):
+        from .io import graph_files as _gf
+        file_id, _order, nxt = _gf.edge_file_ids(edges)
+        rec = stagefiles.PathRecorder(
+            args.out + ".path", file_id, nxt)
+        recorders.append((rec, nxt))
+        return rec
+
+    reps_tie = getattr(args, "reps_tie", False)
     res = pg_stage.run_pregraph(
         factory, args.k,
-        low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh)
+        low_freq_cutoff=getattr(args, "low_kmer", 0), mesh=mesh,
+        path_recorder_factory=_recorder_factory if reps_tie else None)
+    if recorders:
+        rec, nxt = recorders[0]
+        markers = rec.close()
+        stagefiles.write_mark_on_edge(
+            args.out + ".markOnEdge", markers, nxt - 1)
+        print(f"[pregraph] wrote {args.out}.path/.markOnEdge")
     # sharded runs precompute the histogram on the mesh (res.table is
     # then only the mini endpoint table)
     hist = res.freq_hist if res.freq_hist is not None \

@@ -96,6 +96,30 @@ def _oriented_kmer(table_keys: np.ndarray, node: int, k: int) -> int:
 # pregraph -> contig boundary
 # ---------------------------------------------------------------------------
 
+def edge_file_ids(edges):
+    """Edge row -> 1-based .edge.gz file id (rep first, twin = id+1 —
+    the reference loader's bal_edge convention, loadPreGraph.c:543).
+    Returns (file_id (n_e,) int64, rep rows in file order, next id)."""
+    n_e = int(edges.n_edges)
+    twin = np.asarray(edges.twin[:n_e])
+    file_id = np.zeros(n_e, np.int64)
+    nxt = 1
+    order: List[int] = []
+    for e in range(n_e):
+        t = int(twin[e])
+        if t == e:
+            file_id[e] = nxt
+            order.append(e)
+            nxt += 1
+        elif file_id[e] == 0:
+            file_id[e] = nxt
+            if 0 <= t < n_e:
+                file_id[t] = nxt + 1
+            order.append(e)
+            nxt += 2
+    return file_id, order, nxt
+
+
 def write_pregraph_files(prefix: str, table, edges, arcs, k: int) -> int:
     """Write .vertex, .edge.gz and .preArc from the in-memory pregraph
     result; returns the vertex count (for .preGraphBasic's VERTEX
@@ -121,21 +145,7 @@ def write_pregraph_files(prefix: str, table, edges, arcs, k: int) -> int:
         fh.write("\n")
 
     # edges: rep first, twin implicit
-    file_id = np.zeros(n_e, np.int64)
-    nxt = 1
-    order: List[int] = []
-    for e in range(n_e):
-        t = int(twin[e])
-        if t == e:
-            file_id[e] = nxt
-            order.append(e)
-            nxt += 1
-        elif file_id[e] == 0:
-            file_id[e] = nxt
-            if 0 <= t < n_e:
-                file_id[t] = nxt + 1
-            order.append(e)
-            nxt += 2
+    file_id, order, nxt = edge_file_ids(edges)
     with gzip.open(prefix + ".edge.gz", "wt") as fh:
         for e in order:
             fk = _kmer_hex(

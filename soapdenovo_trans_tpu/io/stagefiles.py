@@ -158,6 +158,68 @@ def write_read_information(path: str, readno, read_off, ctg, ctg_off,
                    (readno, read_off, ctg, ctg_off, align_len, orien))
 
 
+class PathRecorder:
+    """repsTie outputs: binary `.path` (per recorded read, a 1-byte
+    edge count + that many uint32 1-based edge file ids) and the
+    `.markOnEdge` marker counts (saturating u8 per edge file id) —
+    recordPathBin, reference prlRead2path.c:507-573.  A read is
+    recorded when its leading unbroken edge path has >= 3 edges
+    (the reference's mixBuffer[start..start+2] nonzero check).
+
+    NOTE: the reference v1.04 parses no flag that sets repsTie — its
+    `case 'R'` is commented out (pregraph.c:149-151) — so these files
+    are unreachable dead code there; we implement the writers as a
+    documented superset behind our -R."""
+
+    MIN_PATH = 3
+
+    def __init__(self, path: str, file_id: np.ndarray, n_file: int):
+        self.fh = open(path, "wb")
+        self.file_id = file_id  # edge row -> 1-based file id
+        self.markers = np.zeros(n_file, np.int64)  # index = file id
+        self.n_reads = 0
+
+    def add_batch(self, slots: np.ndarray, arc_ok: np.ndarray) -> None:
+        """slots (r, 2p) edge rows or -1 in read order; arc_ok (r, 2p)
+        true where the entry continues the previous one unbroken."""
+        import struct
+
+        out = []
+        for row in range(slots.shape[0]):
+            idxs = np.nonzero(slots[row] >= 0)[0]
+            if idxs.size < self.MIN_PATH:
+                continue
+            # leading unbroken run: entries after the first must chain
+            n_run = 1
+            while n_run < idxs.size and arc_ok[row, idxs[n_run]]:
+                n_run += 1
+            if n_run < self.MIN_PATH:
+                continue
+            ids = self.file_id[slots[row, idxs[:n_run]]]
+            np.add.at(self.markers, ids, 1)
+            out.append(struct.pack("<B", min(n_run, 255)) +
+                       ids[:255].astype("<u4").tobytes())
+            self.n_reads += 1
+        if out:
+            self.fh.write(b"".join(out))
+
+    def close(self) -> np.ndarray:
+        self.fh.close()
+        print(f"[pregraph] {int(self.markers.sum())} markers counted "
+              f"({self.n_reads} read paths)")
+        return np.minimum(self.markers, 255)
+
+
+def write_mark_on_edge(path: str, markers: np.ndarray,
+                       n_edges_file: int) -> None:
+    """.markOnEdge: one saturating count per edge file id 1..num_ed
+    (reference prlRead2path.c:464-471)."""
+    with open(path, "w") as fh:
+        for e in range(1, n_edges_file + 1):
+            m = int(markers[e]) if e < markers.shape[0] else 0
+            fh.write(f"{min(m, 255)}\n")
+
+
 def write_read_in_gap(path: str, rows) -> None:
     """.readInGap equivalent (reference getReadIngap,
     prlRead2Ctg.c:447, binary): reads whose projected mate falls past

@@ -162,10 +162,15 @@ def delete_low_freq(table: dictionary.KmerTable,
 
 def run_pregraph(batch_iter_factory, k: int,
                  low_freq_cutoff: int = 0,
-                 clip_tips: bool = True, mesh=None) -> PregraphResult:
+                 clip_tips: bool = True, mesh=None,
+                 path_recorder_factory=None) -> PregraphResult:
     """batch_iter_factory: zero-arg callable returning a fresh iterator
     of (codes, lengths, lib) batches — called twice (two read passes,
     like the reference).
+
+    path_recorder_factory: optional callable(edges) -> recorder with
+    add_batch(slots (r,2p), arc_ok (r,2p)) — the repsTie .path hook
+    (reference recordPathBin, prlRead2path.c:507).
 
     With a mesh, the ENTIRE stage runs on resident shards — counting,
     DBG build, tip clipping, condensation, read threading — and only
@@ -173,7 +178,8 @@ def run_pregraph(batch_iter_factory, k: int,
     (_run_pregraph_sharded; VERDICT r2 item 2)."""
     if mesh is not None:
         return _run_pregraph_sharded(
-            batch_iter_factory, k, low_freq_cutoff, clip_tips, mesh)
+            batch_iter_factory, k, low_freq_cutoff, clip_tips, mesh,
+            path_recorder_factory=path_recorder_factory)
     t0 = time.time()
     table = count_reads(batch_iter_factory(), k)
     print(f"[pregraph] {int(table.n)} distinct kmers "
@@ -193,11 +199,18 @@ def run_pregraph(batch_iter_factory, k: int,
           f"({time.time() - t0:.1f}s)")
 
     patch = arcs_mod.build_patch(edges, table, k)
+    recorder = path_recorder_factory(edges) if path_recorder_factory \
+        else None
     t0 = time.time()
     aset: Optional[arcs_mod.ArcSet] = None
     for codes, lengths, _lib in batch_iter_factory():
         f, t, v = arcs_mod.thread_reads(
             jnp.asarray(codes), jnp.asarray(lengths), table, edges, patch, k)
+        if recorder is not None:
+            r, l = codes.shape
+            p2 = 2 * (l - k + 1)
+            recorder.add_batch(np.asarray(t).reshape(r, p2),
+                               np.asarray(v).reshape(r, p2))
         batch_arcs = arcs_mod.count_arcs(f, t, v, edges.twin)
         aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
             aset, batch_arcs, edges.twin)
@@ -208,7 +221,8 @@ def run_pregraph(batch_iter_factory, k: int,
 
 def _run_pregraph_sharded(batch_iter_factory, k: int,
                           low_freq_cutoff: int, clip_tips: bool,
-                          mesh) -> PregraphResult:
+                          mesh, path_recorder_factory=None
+                          ) -> PregraphResult:
     """Mesh-resident pregraph: the k-mer table and every table-sized
     pass stay sharded; the host receives only the condensed edge graph
     with a mini endpoint table (parallel/sharded_pregraph.py)."""
@@ -245,6 +259,8 @@ def _run_pregraph_sharded(batch_iter_factory, k: int,
           f"({time.time() - t0:.1f}s)")
 
     patch = arcs_mod.build_patch(edges, mini_table, k)
+    recorder = path_recorder_factory(edges) if path_recorder_factory \
+        else None
     t0 = time.time()
     d = st.keys.shape[0]
     aset: Optional[arcs_mod.ArcSet] = None
@@ -259,6 +275,10 @@ def _run_pregraph_sharded(batch_iter_factory, k: int,
         f, t, v = spg.thread_reads_sharded(
             mesh, routers, st, deleted, node_edge, node_pos, edges,
             patch, codes, lengths, k)
+        if recorder is not None:
+            rp2 = 2 * (l - k + 1)
+            recorder.add_batch(np.asarray(t).reshape(-1, rp2),
+                               np.asarray(v).reshape(-1, rp2))
         batch_arcs = arcs_mod.count_arcs(
             jnp.asarray(f), jnp.asarray(t), jnp.asarray(v), edges.twin)
         aset = batch_arcs if aset is None else arcs_mod.merge_arcs(

@@ -111,3 +111,54 @@ def test_kmer_hex_roundtrip():
         txt = graph_files._kmer_hex(lanes, k)
         back = graph_files._parse_kmer_hex(txt.split(), k)
         assert np.array_equal(lanes, back), (k, txt)
+
+
+def test_reps_tie_path_and_mark_on_edge(rng, tmp_path):
+    """pregraph -R writes .path (binary: u8 count + count u32 edge
+    file ids per recorded read) and .markOnEdge (one saturating count
+    per edge file id) — recordPathBin semantics
+    (prlRead2path.c:507-573; the reference's own -R is commented out,
+    pregraph.c:149-151, so this is a documented superset)."""
+    import struct
+
+    from soapdenovo_trans_tpu.io import fastx
+    from tests.test_e2e import unique_kmer_seq
+
+    # two isoforms sharing a 30bp exon: 60bp reads crossing both
+    # junctions traverse arm -> exon -> arm (>= 3 edges), so paths
+    # actually get recorded
+    rng2 = np.random.default_rng(13)
+    a, b, c, d = (unique_kmer_seq(rng2, 150, 23) for _ in range(4))
+    exon = unique_kmer_seq(rng2, 30, 23)
+    reads = []
+    for t in (a + exon + b, c + exon + d):
+        for i in range(0, len(t) - 60 + 1, 2):
+            reads.append(t[i : i + 60])
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", s) for i, s in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len=60\n[LIB]\nasm_flags=3\nf={fa}\n")
+    out = os.path.join(str(tmp_path), "asm")
+    cli.main(["pregraph", "-s", cfg, "-o", out, "-K", "23", "-R"])
+
+    marks = [int(x) for x in open(out + ".markOnEdge")]
+    assert marks, "no .markOnEdge rows"
+    assert all(0 <= m <= 255 for m in marks)
+
+    # parse the binary .path stream and recount markers
+    tally = np.zeros(len(marks) + 1, np.int64)
+    n_paths = 0
+    with open(out + ".path", "rb") as fh:
+        while True:
+            b = fh.read(1)
+            if not b:
+                break
+            (cnt,) = struct.unpack("<B", b)
+            ids = np.frombuffer(fh.read(4 * cnt), "<u4")
+            assert cnt >= 3
+            assert (ids >= 1).all() and (ids <= len(marks)).all()
+            np.add.at(tally, ids, 1)
+            n_paths += 1
+    assert n_paths > 0
+    assert [min(int(t), 255) for t in tally[1:]] == marks
