@@ -550,7 +550,8 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         max_transcripts=getattr(args, "max_transcripts", 5),
         gap_len_diff=getattr(args, "gap_len_diff", 50),
         fill_gaps=getattr(args, "fill_gaps", False),
-        max_cnt=getattr(args, "max_cnt", 0))
+        max_cnt=getattr(args, "max_cnt", 0),
+        ins_size_var=link_extra.get("ins_size_var", 20))
     gap_read_source = None
     if params.fill_gaps and getattr(args, "config", None) and \
             link_extra.get("read_ctg") is not None:

@@ -347,6 +347,18 @@ def build_connections(prefix: str, ctg, k: int, min_unique_len: int):
         gi = np.clip(np.searchsorted(bounds, rn, side="left"),
                      0, len(grads) - 1)
         read_ins = ins_arr[gi].astype(np.int32)
+    # ins_size_var as Links2Scaf sets it per grad in ascending insert
+    # order (orderContig.c:4255-4269) — the largest grad's value is
+    # what linearization sees
+    ins_size_var = 20
+    for g_ in grads:
+        if g_.insert_s >= 1000:
+            ins_size_var = 50
+        elif g_.insert_s >= 300:
+            ins_size_var = 30
+        else:
+            ins_size_var = 20
     extras = {"read_ctg": read_ctg, "read_pos": read_pos,
-              "read_ins": read_ins, "n_reads": n_reads}
+              "read_ins": read_ins, "n_reads": n_reads,
+              "ins_size_var": ins_size_var}
     return conn, extras

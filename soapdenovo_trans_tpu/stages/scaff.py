@@ -305,34 +305,58 @@ def get_loci(g: ConnGraph, n_ctg: int) -> List[List[int]]:
     return loci
 
 
-def linearize(g: ConnGraph, locus: List[int], params: ScaffParams):
-    """deleteUnnecessary/linearC2C (transcriptome.c:599-841):
-    remove connections transitive w.r.t. an existing 2-step path whose
-    total length is consistent within the insert-size tolerance."""
-    changed = True
-    rounds = 0
-    while changed and rounds < 8:
-        changed = False
-        rounds += 1
-        for a in locus:
-            outs = g.out_live(a)
-            if len(outs) < 2:
+def _trace_along_connection(g: ConnGraph, dest: int, start: int,
+                            skip_rec: dict, max_steps: int,
+                            lo: int, hi: int, k: int) -> bool:
+    """traceAlongConnection (transcriptome.c:562-598): bounded DFS over
+    live unique connections, excluding the direct connection object;
+    accumulated length = sum over interior contigs of
+    (K-exclusive contig length + the gap INTO the contig) — the gap
+    into the destination is NOT counted (reference quirk, :585-589).
+    Lengths here use this module's conventions (ctg_len is K-inclusive,
+    gaps are physical), so each interior contributes
+    full_len + gap_phys.  True when any route lands in [lo, hi]."""
+    found = [False]
+
+    def rec(node, pos, length, gap_in):
+        if found[0] or pos > max_steps:
+            return
+        if pos > 0 and node == dest and length >= lo:
+            found[0] = True
+            return
+        if pos == max_steps or length >= hi:
+            return
+        if pos > 0:
+            length += int(g.ctg_len[node]) + gap_in  # full + gap_phys
+        for t, r in g.out_live(node):
+            if r is skip_rec or r["deleted"]:
                 continue
-            for c, rec_ac in list(outs):
-                for b, rec_ab in outs:
-                    if b == c or rec_ab["deleted"]:
-                        continue
-                    rec_bc = g.out.get(b, {}).get(c)
-                    if rec_bc is None or rec_bc["deleted"]:
-                        continue
-                    span = rec_ab["gap"] + int(g.ctg_len[b]) + rec_bc["gap"]
-                    if abs(span - rec_ac["gap"]) <= \
-                            params.ins_size_var + int(g.ctg_len[b]):
-                        g.delete(a, c)
-                        changed = True
-                        break
-    # bal_simply_linear-style merge of both-strand evidence is implicit:
-    # connections were built twin-symmetric.
+            rec(t, pos + 1, length, r["gap"])
+
+    rec(start, 0, 0, 0)
+    return found[0]
+
+
+def linearize(g: ConnGraph, locus: List[int], params: ScaffParams,
+              k: int = 0):
+    """The reference's linearization = deleteUnnecessary per locus
+    (transcriptome.c:777-835; simply_linear/bal_simply_linear are
+    commented out at :829-830): every live PE-only connection
+    (SECount==0, PECount>0) dies when an alternative route through
+    live unique connections lands within gapLen +- 2*ins_size_var,
+    routes bounded by max_step contigs."""
+    if len(locus) <= 2:
+        return  # linearization skips 2-contig loci (:825-826)
+    v2 = 2 * params.ins_size_var
+    for c in locus:
+        for d, rec in list(g.out_live(c)):
+            if rec["deleted"] or rec["se"] > 0 or rec["weight"] <= 0:
+                continue
+            gap_ref = rec["gap"] + k  # CONNECT gapLen convention
+            if _trace_along_connection(
+                    g, d, c, rec, params.max_step,
+                    gap_ref - v2, gap_ref + v2, k):
+                g.delete(c, d)
 
 
 def delete_inconsistent(g: ConnGraph, locus: List[int]):
@@ -556,7 +580,8 @@ def _loci_in(g: ConnGraph, candidates, twin) -> List[List[int]]:
 
 
 def build_structure(conn, twin, full_len, unique, cvg,
-                    params: ScaffParams) -> List[Transcript]:
+                    params: ScaffParams, k: int = 0
+                    ) -> List[Transcript]:
     """The transcriptome() structure phase (transcriptome.c:2223-2345),
     scaled: weak/unlikely filters and connected components run
     vectorized over the COO connection arrays; the per-locus graph
@@ -596,10 +621,10 @@ def build_structure(conn, twin, full_len, unique, cvg,
             unique)
         cands = sorted(set(f[rr].tolist()) | set(t[rr].tolist()))
         for locus in _loci_in(gl, cands, twin):
-            linearize(gl, locus, params)
+            linearize(gl, locus, params, k)
             delete_inconsistent(gl, locus)
             avoid_loops(gl, locus)
-            linearize(gl, locus, params)
+            linearize(gl, locus, params, k)
         # loci recomputed after cleanup — components split by
         # deleteInconsistent/avoidLoop become separate loci
         # (transcriptome.c:2256-2266)
@@ -749,7 +774,7 @@ def run_scaff(contigs, conn, k: int, table,
         unique[:n_ctg] = full_len[:n_ctg] >= params.min_unique_len
         transcripts = build_structure(
             conn, twin, full_len, unique, np.asarray(contigs.cvg),
-            params)
+            params, k)
 
     seqs = contig_merge.contig_sequences(contigs, table, k)
     used = np.zeros(contigs.length.shape[0], bool)

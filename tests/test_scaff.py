@@ -293,17 +293,17 @@ def test_build_structure_matches_dict_path(rng):
     scaff.delete_weak(gd, params.weak_cnt)
     loci = scaff.get_loci(gd, n_ctg)
     for locus in loci:
-        scaff.linearize(gd, locus, params)
+        scaff.linearize(gd, locus, params, K)
         scaff.delete_inconsistent(gd, locus)
         scaff.avoid_loops(gd, locus)
-        scaff.linearize(gd, locus, params)
+        scaff.linearize(gd, locus, params, K)
     scaff.delete_unlikely(gd, n_ctg, params.max_cnt)
     loci = scaff.get_loci(gd, n_ctg)
     legacy = scaff.build_transcripts(
         [(gd, locus) for locus in loci], cvg, params)
 
     fast = scaff.build_structure(C(), twin, full_len, unique, cvg,
-                                 params)
+                                 params, K)
 
     def key(trs):
         return sorted((tuple(tr.contigs), tr.kind, tuple(tr.gaps))
