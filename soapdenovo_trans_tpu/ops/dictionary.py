@@ -225,12 +225,58 @@ def _merge_packed_device(rows, count):
     return rows_c, count_c, num_unique
 
 
+@jax.jit
+def _dedup_sorted_device(rows, count):
+    """Dedup an ALREADY-SORTED (sentinel-tailed) row array: equal-run
+    count cumsum + 1-key compaction sort — the tail of
+    _merge_packed_device without its initial full sort."""
+    n_tot, wp = rows.shape
+    svalid = ~jnp.all(rows == jnp.uint32(0xFFFFFFFF), axis=-1)
+    diff = jnp.concatenate(
+        [jnp.any(rows[1:] != rows[:-1], axis=-1), jnp.ones((1,), bool)])
+    last = diff & svalid
+    num_unique = jnp.sum(last.astype(jnp.int32))
+    incl = jnp.cumsum(jnp.where(svalid, count, 0))
+    idx = jnp.arange(n_tot, dtype=jnp.int32)
+    lkey = jnp.where(last, idx, n_tot)
+    res2 = jax.lax.sort(
+        (lkey,) + tuple(rows[:, i] for i in range(wp)) + (incl,),
+        num_keys=1)
+    live = res2[0] < n_tot
+    rows_c = jnp.where(live[:, None], jnp.stack(res2[1:1 + wp], axis=-1),
+                       jnp.uint32(0xFFFFFFFF))
+    c_end = res2[1 + wp]
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_end[:-1]])
+    count_c = jnp.where(live, c_end - c_prev, 0)
+    return rows_c, count_c, num_unique
+
+
+def _use_merge_kernel(wp: int) -> bool:
+    import os
+
+    if os.environ.get("SOAPDENOVO_TPU_NO_MERGE_KERNEL"):
+        return False
+    return wp == 2 and jax.default_backend() not in ("cpu",)
+
+
 def merge_packed(a: PackedTable, b: PackedTable) -> PackedTable:
-    """LSM combine of two PackedTables: concat + slim sort +
-    segment-add multiplicities (WP+1 sort operands total)."""
-    rows = jnp.concatenate([a.rows, b.rows])
-    count = jnp.concatenate([a.count, b.count])
-    rows_c, count_c, num_unique = _merge_packed_device(rows, count)
+    """LSM combine of two PackedTables: merge + dedup.
+
+    On TPU with 2-lane rows (K <= 28) the merge is the merge-path
+    Pallas kernel (kernels/merge_path.py) — the inputs are already
+    sorted, so re-sorting the concatenation is pure waste; elsewhere
+    it falls back to concat + slim sort."""
+    wp = a.rows.shape[-1]
+    if _use_merge_kernel(wp):
+        from ..kernels import merge_path
+
+        rows, count = merge_path.merge_sorted_rows(
+            a.rows, a.count, b.rows, b.count, a.n, b.n)
+        rows_c, count_c, num_unique = _dedup_sorted_device(rows, count)
+    else:
+        rows = jnp.concatenate([a.rows, b.rows])
+        count = jnp.concatenate([a.count, b.count])
+        rows_c, count_c, num_unique = _merge_packed_device(rows, count)
     n = int(num_unique)
     return _fit_packed(rows_c, count_c, n, round_up(max(n, 1)))
 
