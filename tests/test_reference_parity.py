@@ -200,3 +200,43 @@ def test_bubble_merge_contiguity_vs_reference(rng, ref_binary, tmp_path):
     for rc in ref_contigs:
         rcc = (rc, bits.revcomp_str(rc))
         assert any(v in oc for oc in our_contigs for v in rcc), len(rc)
+
+
+def test_contig_parity_at_k31(rng, ref_binary, tmp_path):
+    """K=31 — the 31mer binary's maximum K (one uint64 kmer in the
+    reference, 2-lane packing here): contig sequence-set parity."""
+    from tests.test_e2e import unique_kmer_seq
+
+    rng2 = np.random.default_rng(31)
+    transcripts = [unique_kmer_seq(rng2, 350, 31) for _ in range(3)]
+    reads = []
+    for t in transcripts:
+        for i in range(0, len(t) - 60 + 1, 3):
+            r = t[i : i + 60]
+            reads.append(bits.revcomp_str(r) if rng2.random() < 0.5
+                         else r)
+    rng2.shuffle(reads)
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len=60\n[LIB]\nasm_flags=3\nf={fa}\n")
+
+    ref_out = os.path.join(str(tmp_path), "refasm")
+    subprocess.run(
+        [ref_binary, "pregraph", "-s", cfg, "-K", "31", "-p", "2",
+         "-o", ref_out], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [ref_binary, "contig", "-g", ref_out], capture_output=True,
+        timeout=300, check=True)
+    ref_contigs = {canon(s) for s in read_fasta_seqs(ref_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs
+
+    our_out = os.path.join(str(tmp_path), "ourasm")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", "31"])
+    our_contigs = {canon(s) for s in read_fasta_seqs(our_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs == our_contigs, (
+        sorted(len(s) for s in ref_contigs),
+        sorted(len(s) for s in our_contigs))

@@ -269,3 +269,41 @@ def test_multilib_two_insert_sizes(rng, tmp_path):
                     return True
         return False
     assert joined(u[0], u[1]), sorted(len(s) for s in scafs)
+
+
+def test_scafseq_parity_with_errors(rng, ref_binary, tmp_path):
+    """Full 4-stage transcript parity with sequencing errors: tip
+    clipping + weak-edge cleaning must converge both pipelines to the
+    same junction-normalized scaffold set."""
+    rng2 = np.random.default_rng(55)
+    (t1, t2), _ = make_pe_dataset(rng2, str(tmp_path))  # clean layout
+    from tests.test_e2e import simulate_reads
+
+    # regenerate the single-end coverage WITH errors on top of the
+    # clean PE links
+    singles = []
+    for t in (t1, t2):
+        singles += simulate_reads(rng2, t, 50, 40, error_rate=0.002)
+    s_fa = os.path.join(str(tmp_path), "singles.fa")
+    fastx.write_fasta(s_fa, [(f"e{i}", r)
+                             for i, r in enumerate(singles)])
+    cfg = os.path.join(str(tmp_path), "pe.config")
+    text = open(cfg).read()
+    with open(cfg, "w") as fh:  # swap in the error-bearing singles
+        fh.write(text.rsplit("[LIB]", 1)[0] +
+                 f"[LIB]\nasm_flags=1\nf={s_fa}\n")
+
+    ref_out = os.path.join(str(tmp_path), "referr")
+    run_reference(ref_binary, cfg, ref_out)
+    our_out = os.path.join(str(tmp_path), "ourerr")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", str(K)])
+
+    ref = scaf_set(ref_out + ".scafSeq", normalize_junctions)
+    our = scaf_set(our_out + ".scafSeq", normalize_junctions)
+    # long records (the real transcripts) must agree exactly
+    ref_long = {s for s in ref if len(s) >= 300}
+    our_long = {s for s in our if len(s) >= 300}
+    assert ref_long, "reference produced no long scaffolds"
+    assert ref_long == our_long, (
+        sorted(len(s) for s in ref_long),
+        sorted(len(s) for s in our_long))
