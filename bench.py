@@ -74,10 +74,10 @@ def main():
     total_kmers = 2 * BATCH * (READ_LEN - K + 1)
 
     def counting_phase(x1, x2):
-        s1 = kmer.chop_reads(x1, lengths, K)
-        t1 = dictionary.build_packed(s1, K)
-        s2 = kmer.chop_reads(x2, lengths, K)
-        t2 = dictionary.build_packed(s2, K)
+        # the production path: fused chop+pack+dedup per batch,
+        # merge-path kernel LSM merge (on TPU), one finalize
+        t1 = dictionary.build_packed_from_reads(x1, lengths, K)
+        t2 = dictionary.build_packed_from_reads(x2, lengths, K)
         merged = dictionary.merge_packed(t1, t2)
         return dictionary.finalize(merged, K)
 

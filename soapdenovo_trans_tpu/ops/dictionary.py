@@ -198,6 +198,25 @@ def build_packed(stream, k: int, cap: int | None = None) -> PackedTable:
     return _fit_packed(rows, count, n, cap or round_up(max(n, 1)))
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _build_from_reads_device(seqs, lengths, k):
+    from . import kmer as kmer_mod
+
+    stream = kmer_mod.chop_reads(seqs, lengths, k)
+    return _reduce_rows(pack_stream(
+        stream.kmers, stream.prev, stream.next, stream.valid, k))
+
+
+def build_packed_from_reads(seqs, lengths, k: int,
+                            cap: int | None = None) -> PackedTable:
+    """Fused chop -> pack -> sort-dedup in ONE jit: the intermediate
+    (N, W) k-mer stream never round-trips HBM between kernels (the
+    separate chop/build calls each materialize ~16B/row)."""
+    rows, count, num_unique = _build_from_reads_device(seqs, lengths, k)
+    n = int(num_unique)
+    return _fit_packed(rows, count, n, cap or round_up(max(n, 1)))
+
+
 @jax.jit
 def _merge_packed_device(rows, count):
     n_tot, wp = rows.shape

@@ -89,8 +89,8 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     forest = _MergeForest()
     n_reads = 0
     for codes, lengths, _lib in batches:
-        stream = kmer.chop_reads(jnp.asarray(codes), jnp.asarray(lengths), k)
-        forest.insert(dictionary.build_packed(stream, k))
+        forest.insert(dictionary.build_packed_from_reads(
+            jnp.asarray(codes), jnp.asarray(lengths), k))
         n_reads += int((np.asarray(lengths) > 0).sum())
     packed = forest.finish()
     if packed is None:
