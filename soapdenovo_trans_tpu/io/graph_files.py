@@ -38,9 +38,42 @@ from typing import List, Tuple
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..ops import bits
 
 _COMP = {"A": "T", "C": "G", "T": "A", "G": "C"}
+
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _canon_rows_jit(rows, k):
+    return bits.canonical(rows, k)
+
+
+def _canon_rows(rows_np: np.ndarray, k: int):
+    """Batched canonicalization with shape padding (power-of-two row
+    counts) so resuming many different file sizes reuses a handful of
+    compiled shapes."""
+    n = rows_np.shape[0]
+    cap = 1 << max((n - 1).bit_length(), 10)
+    pad = np.zeros((cap - n, rows_np.shape[1]), np.uint32)
+    can, use_rc = _canon_rows_jit(
+        jnp.asarray(np.concatenate([rows_np, pad])), k)
+    return np.asarray(can[:n]), np.asarray(use_rc[:n])
+
+
+def _row_keys(a: np.ndarray) -> np.ndarray:
+    """(n, w) uint32 rows -> (n,) void keys that compare
+    lexicographically (big-endian byte view) for sort/searchsorted."""
+    if a.shape[0] == 0:
+        return np.zeros(0, dtype=np.dtype((np.void, max(a.shape[1], 1) * 4)))
+    be = np.ascontiguousarray(a.astype(">u4"))
+    return be.view(np.dtype((np.void, a.shape[1] * 4))).reshape(-1)
 
 
 def _n_u64(k: int) -> int:
@@ -209,77 +242,129 @@ def load_pregraph_files(prefix: str):
     with open(prefix + ".vertex") as fh:
         for line in fh:
             toks.extend(line.split())
-    vals = []
+    raw_vt = np.zeros((n_vt, w), np.uint32)
     for i in range(n_vt):
-        v = _lanes_to_int(_parse_kmer_hex(toks[i * nu: (i + 1) * nu], k))
-        vals.append(min(v, _revcomp_int(v, k)))
-    vals.sort()
-    vt_keys = np.stack([_int_to_lanes(v, w) for v in vals]) if vals else \
-        np.zeros((0, w), np.uint32)
+        raw_vt[i] = _parse_kmer_hex(toks[i * nu: (i + 1) * nu], k)
+    if n_vt:
+        can_vt = _canon_rows(raw_vt, k)[0]
+        vt_keys = can_vt[np.argsort(_row_keys(can_vt), kind="stable")]
+        vt_keys = np.unique(vt_keys, axis=0)  # defensive (twins listed)
+    else:
+        vt_keys = np.zeros((0, w), np.uint32)
+    vt_void = _row_keys(vt_keys)
 
-    import bisect
-
-    def vt_id(v: int) -> int:
-        c = min(v, _revcomp_int(v, k))
-        i = bisect.bisect_left(vals, c)
-        assert i < len(vals) and vals[i] == c, "vertex not found"
-        return 2 * i + (0 if v == c else 1)
-
-    # edges: (len, fk, tk, cvg, seq, bal)
-    recs: List[tuple] = []
+    # edges: (len, fk lanes, tk lanes, cvg, seq, bal)
+    lens_l: List[int] = []
+    cvg_l: List[int] = []
+    bal_l: List[int] = []
+    seqs_l: List[str] = []
+    fk_rows: List[np.ndarray] = []
+    tk_rows: List[np.ndarray] = []
     with gzip.open(prefix + ".edge.gz", "rt") as fh:
-        cur = None
+        seq_parts: List[str] = []
+        pending = False
         for line in fh:
             line = line.strip()
             if line.startswith(">"):
-                if cur is not None:
-                    recs.append(tuple(cur))
+                if pending:
+                    seqs_l.append("".join(seq_parts))
+                    seq_parts = []
                 body = line[len(">length "):]
                 fields = body.split(",")
-                ln = int(fields[0])
-                fk = _lanes_to_int(_parse_kmer_hex(fields[1].split(), k))
-                tk = _lanes_to_int(_parse_kmer_hex(fields[2].split(), k))
-                cvg_s, bal_s = fields[3].split()[1], fields[4].strip()
-                cur = [ln, fk, tk, int(cvg_s), "", int(bal_s)]
-            elif cur is not None:
-                cur[4] += "".join(c for c in line if c.isalpha())
-        if cur is not None:
-            recs.append(tuple(cur))
+                lens_l.append(int(fields[0]))
+                fk_rows.append(_parse_kmer_hex(fields[1].split(), k))
+                tk_rows.append(_parse_kmer_hex(fields[2].split(), k))
+                cvg_l.append(int(fields[3].split()[1]))
+                bal_l.append(int(fields[4].strip()))
+                pending = True
+            elif pending:
+                seq_parts.append(
+                    "".join(c for c in line if c.isalpha()))
+        if pending:
+            seqs_l.append("".join(seq_parts))
 
-    from_node, to_node, length, cvg, twin, seqs = [], [], [], [], [], []
-    for ln, fk, tk, cv, seq, bal in recs:
-        e = len(from_node)
-        from_node.append(vt_id(fk))
-        to_node.append(vt_id(tk))
-        length.append(ln)
-        cvg.append(cv)
-        seqs.append(seq)
-        if bal:
-            twin.append(e + 1)
-            # twin appended seq = revcomp of first L bases of (fk||seq)
-            full = bits.kmer_to_string(_int_to_lanes(fk, w), k) + seq
-            rc = "".join(_COMP[c] for c in reversed(full))[k:]
-            from_node.append(vt_id(_revcomp_int(tk, k)))
-            to_node.append(vt_id(_revcomp_int(fk, k)))
-            length.append(ln)
-            cvg.append(cv)
-            twin.append(e)
-            seqs.append(rc)
-        else:
-            twin.append(e)
-    n_e = len(from_node)
+    n_r = len(lens_l)
+    if n_r:
+        fk = np.stack(fk_rows)
+        tk = np.stack(tk_rows)
+        bal = np.asarray(bal_l, np.int64)
+        # batched canonicalization + vertex lookup (one searchsorted
+        # over lexicographic row keys instead of a bisect per endpoint)
+        def vt_ids(raw):
+            can, use_rc = _canon_rows(raw, k)
+            idx = np.searchsorted(vt_void, _row_keys(can))
+            idx = np.clip(idx, 0, max(vt_keys.shape[0] - 1, 0))
+            assert vt_keys.shape[0] and \
+                (vt_keys[idx] == can).all(), "vertex not found"
+            return 2 * idx + use_rc.astype(np.int64)
 
+        fk_id = vt_ids(fk)
+        tk_id = vt_ids(tk)
+        # twin record ids: vt_id(revcomp(x)) shares x's canonical row
+        # with flipped orientation (odd K has no palindromic kmers)
+        rc_tk_id = tk_id ^ 1
+        rc_fk_id = fk_id ^ 1
+
+        # interleave rep/twin rows: record r occupies slots
+        # [slot[r], slot[r] + 1 + bal[r])
+        per = 1 + bal
+        slot = np.concatenate([[0], np.cumsum(per)[:-1]])
+        n_e = int(per.sum())
+        from_node = np.zeros(n_e, np.int64)
+        to_node = np.zeros(n_e, np.int64)
+        length = np.zeros(n_e, np.int64)
+        cvg_arr = np.zeros(n_e, np.int64)
+        twin_arr = np.zeros(n_e, np.int64)
+        from_node[slot] = fk_id
+        to_node[slot] = tk_id
+        length[slot] = np.asarray(lens_l)
+        cvg_arr[slot] = np.asarray(cvg_l)
+        twin_arr[slot] = np.where(bal == 1, slot + 1, slot)
+        tw = slot[bal == 1] + 1
+        from_node[tw] = rc_tk_id[bal == 1]
+        to_node[tw] = rc_fk_id[bal == 1]
+        length[tw] = np.asarray(lens_l)[bal == 1]
+        cvg_arr[tw] = np.asarray(cvg_l)[bal == 1]
+        twin_arr[tw] = slot[bal == 1]
+
+        # sequence pool: rep seqs from text; twin seq = revcomp of
+        # (K-prefix + seq) minus its K-prefix, all in code space
+        seq_off = np.zeros(n_e, np.int64)
+        pool_chunks: List[np.ndarray] = []
+        off = 0
+        for r in range(n_r):
+            codes = bits._CHAR2CODE[np.frombuffer(
+                seqs_l[r].encode(), np.uint8)]
+            seq_off[slot[r]] = off
+            pool_chunks.append(codes)
+            off += codes.shape[0]
+            if bal[r] == 1:
+                km = np.asarray(
+                    [(int(_lanes_to_int(fk[r])) >> (2 * (k - 1 - j))) & 3
+                     for j in range(k)], np.uint8)
+                full = np.concatenate([km, codes])
+                # revcomp of the full edge, minus ITS k-prefix
+                rc = (full[::-1] ^ 2).astype(np.uint8)[k:]
+                seq_off[slot[r] + 1] = off
+                pool_chunks.append(rc)
+                off += rc.shape[0]
+        pool_codes_all = np.concatenate(pool_chunks) if pool_chunks \
+            else np.zeros(0, np.uint8)
+    else:
+        n_e = 0
+        from_node = to_node = length = cvg_arr = twin_arr = \
+            np.zeros(0, np.int64)
+        seq_off = np.zeros(0, np.int64)
+        pool_codes_all = np.zeros(0, np.uint8)
+
+    cvg = cvg_arr
+    twin = twin_arr
     e_cap = dictionary.round_up(max(n_e, 1))
-    pool = "".join(seqs)
-    s_cap = dictionary.round_up(max(len(pool), 1))
-    seq_off = np.zeros(e_cap, np.int32)
-    off = 0
-    for e in range(n_e):
-        seq_off[e] = off
-        off += length[e]
-    pool_codes = np.frombuffer(pool.encode(), np.uint8)
+    s_cap = dictionary.round_up(max(int(pool_codes_all.shape[0]), 1))
     pool_arr = np.zeros(s_cap, np.uint8)
-    pool_arr[: len(pool)] = bits._CHAR2CODE[pool_codes]
+    pool_arr[: pool_codes_all.shape[0]] = pool_codes_all
+    seq_off = np.concatenate(
+        [seq_off, np.zeros(e_cap - n_e, np.int64)]).astype(np.int32)
 
     def pad(a, fill, dtype=np.int32):
         out = np.full(e_cap, fill, dtype)
@@ -291,18 +376,18 @@ def load_pregraph_files(prefix: str):
         jnp.asarray(pad(length, 0)), jnp.asarray(pad(cvg, 0)),
         jnp.asarray(pad(twin, -1)), jnp.asarray(seq_off),
         jnp.asarray(pool_arr), jnp.int32(n_e),
-        jnp.full(2 * max(len(vals), 1), -1, np.int32),
-        jnp.full(2 * max(len(vals), 1), -1, np.int32),
+        jnp.full(2 * max(vt_keys.shape[0], 1), -1, np.int32),
+        jnp.full(2 * max(vt_keys.shape[0], 1), -1, np.int32),
         jnp.zeros(e_cap, bool))
 
-    cap_v = dictionary.round_up(max(len(vals), 1))
+    cap_v = dictionary.round_up(max(vt_keys.shape[0], 1))
     keys = np.full((cap_v, w), 0xFFFFFFFF, np.uint32)
-    if len(vals):
-        keys[: len(vals)] = vt_keys
+    if vt_keys.shape[0]:
+        keys[: vt_keys.shape[0]] = vt_keys
     table = dictionary.KmerTable(
         jnp.asarray(keys), jnp.zeros(cap_v, jnp.int32),
         jnp.zeros((cap_v, 4), jnp.int32), jnp.zeros((cap_v, 4), jnp.int32),
-        jnp.int32(len(vals)), jnp.zeros(cap_v, bool))
+        jnp.int32(vt_keys.shape[0]), jnp.zeros(cap_v, bool))
 
     fr, to, mu = [], [], []
     try:

@@ -162,3 +162,22 @@ def test_reps_tie_path_and_mark_on_edge(rng, tmp_path):
             n_paths += 1
     assert n_paths > 0
     assert [min(int(t), 255) for t in tally[1:]] == marks
+
+
+def test_loader_twin_sequences_are_revcomps(rng, tmp_path):
+    """Every twin pair materialized by load_pregraph_files must decode
+    to exact reverse complements (regression: the vectorized loader
+    once sliced the twin's appended bases from the wrong end, which
+    contig-set roundtrips on bubble-free data cannot catch)."""
+    from soapdenovo_trans_tpu.graph import unitigs
+
+    transcripts, cfg = make_dataset(rng, str(tmp_path))
+    out = os.path.join(str(tmp_path), "asm")
+    cli.main(["pregraph", "-s", cfg, "-o", out, "-K", "23"])
+    table, edges, aset, k = graph_files.load_pregraph_files(out)
+    seqs = unitigs.edge_sequences(edges, table, k)
+    tw = np.asarray(edges.twin)
+    assert int(edges.n_edges) > 0
+    for e in range(int(edges.n_edges)):
+        t = int(tw[e])
+        assert seqs[t] == bits.revcomp_str(seqs[e]), e
