@@ -370,7 +370,7 @@ def run_map_cmd(args, ctg=None, table=None):
     want_f = getattr(args, "gap_reads", False)
     group_rows = []      # per batch: (read, ctg, ctg_off, read_off,
                          #             align, same) qualifying groups
-    pe_rows, gap_rows, short_reads = [], [], []  # -f payloads
+    pe_rows, gap_rows = [], []  # -f payloads
     base = 0             # global REAL-read counter across batches —
     #                      padded tail rows (length 0) are not
     #                      numbered, matching the reference's dense
@@ -416,10 +416,31 @@ def run_map_cmd(args, ctg=None, table=None):
                 gr[order], np.asarray(pl.g_ctg)[qi],
                 np.asarray(pl.g_ctg_off)[qi], gro[order],
                 np.asarray(pl.g_align)[qi], np.asarray(pl.g_same)[qi]))
-        if want_f and lib.has_pairs:
+        if want_f:
+            # footprint reads (>= 2 distinct contigs hit): the
+            # reference drops these into .readInGap too — they are the
+            # gap-spanning evidence (recordAlldgn, prlRead2Ctg.c:593)
             cb = np.asarray(pl.ctg)
             pb = np.asarray(pl.pos)
             lnp = lens_np
+            gvb = np.asarray(pl.g_valid)
+            grb = np.asarray(pl.g_read)[gvb]
+            gcb = np.asarray(pl.g_ctg)[gvb]
+            if grb.size:
+                pairs_rc = np.unique(
+                    grb.astype(np.int64) * (full_len.shape[0] + 1)
+                    + gcb, )
+                per_read = np.bincount(
+                    (pairs_rc // (full_len.shape[0] + 1)).astype(int),
+                    minlength=r)
+            else:
+                per_read = np.zeros(r, np.int64)
+            for t1 in np.nonzero((per_read >= 2) & (cb >= 0)
+                                 & real)[0]:
+                gap_rows.append(
+                    (int(row_no[t1]) + 1, int(cb[t1]), int(pb[t1]),
+                     np.asarray(codes[t1, : lnp[t1]])))
+        if want_f and lib.has_pairs:
             for t2 in range(1, r, 2):
                 if not real[t2 - 1] and not real[t2]:
                     continue
@@ -431,14 +452,14 @@ def run_map_cmd(args, ctg=None, table=None):
                                     c2m, int(pb[t2])))
                 elif c2m < 0 <= c1m and lnp[t2] > 0:
                     pos = int(pb[t2 - 1]) + ins_for_batch - int(lnp[t2])
-                    gap_rows.append((rn2, c1m, pos))
-                    short_reads.append(
-                        (rn2, np.asarray(codes[t2, : lnp[t2]])))
+                    gap_rows.append(
+                        (rn2, c1m, pos,
+                         np.asarray(codes[t2, : lnp[t2]])))
                 elif c1m < 0 <= c2m and lnp[t2 - 1] > 0:
                     pos = int(pb[t2]) + ins_for_batch - int(lnp[t2 - 1])
-                    gap_rows.append((rn1, c2m, pos))
-                    short_reads.append(
-                        (rn1, np.asarray(codes[t2 - 1, : lnp[t2 - 1]])))
+                    gap_rows.append(
+                        (rn1, c2m, pos,
+                         np.asarray(codes[t2 - 1, : lnp[t2 - 1]])))
         base += n_real
 
     # .peGrads from the map pass's own library accounting, like the
@@ -515,7 +536,8 @@ def run_map_cmd(args, ctg=None, table=None):
         stagefiles.write_pe_read_on_contig(
             args.out + ".PEreadOnContig.gz", pe_rows)
         stagefiles.write_short_read_in_gap(
-            args.out + ".shortreadInGap.gz", short_reads)
+            args.out + ".shortreadInGap.gz",
+            [(rn, codes) for rn, _c, _p, codes in gap_rows])
         print(f"[map] wrote {len(gap_rows)} gap reads "
               f"(.readInGap/.shortreadInGap.gz), "
               f"{len(pe_rows)} PE placements (.PEreadOnContig.gz)")

@@ -221,14 +221,27 @@ def write_mark_on_edge(path: str, markers: np.ndarray,
 
 
 def write_read_in_gap(path: str, rows) -> None:
-    """.readInGap equivalent (reference getReadIngap,
-    prlRead2Ctg.c:447, binary): reads whose projected mate falls past
-    a contig end — 'readno contig pos' text form (this pipeline
-    recruits gap reads from placements directly; the file is the
-    inspectable artifact)."""
-    with open(path, "w") as fh:
-        for readno, ctg, pos in rows:
-            fh.write(f"{readno}\t{ctg}\t{pos}\n")
+    """.readInGap in the reference's BINARY format (output1read,
+    prlRead2Ctg.c:422-446; consumed by loadReads4gap/getRead1by1,
+    prlReadFillGap.c:158-197): per record int32 len, int32 contig id
+    (1-based), int32 projected pos, then len//4+1 tightString bytes
+    (2 bits/base, big-endian within each byte — seq.c:49-72).
+
+    rows: (readno, ctg0 row, pos, codes uint8) — readno is our
+    bookkeeping only and is not part of the record."""
+    import struct
+
+    with open(path, "wb") as fh:
+        for _readno, ctg0, pos, codes in rows:
+            codes = np.asarray(codes, np.uint8)
+            ln = int(codes.shape[0])
+            packed = np.zeros(ln // 4 + 1, np.uint8)
+            idx = np.arange(ln)
+            np.bitwise_or.at(
+                packed, idx // 4,
+                ((codes & 3) << (2 * (3 - idx % 4))).astype(np.uint8))
+            fh.write(struct.pack("<iii", ln, int(ctg0) + 1, int(pos)))
+            fh.write(packed.tobytes())
 
 
 def write_pe_read_on_contig(path: str, rows) -> None:

@@ -307,3 +307,37 @@ def test_scafseq_parity_with_errors(rng, ref_binary, tmp_path):
     assert ref_long == our_long, (
         sorted(len(s) for s in ref_long),
         sorted(len(s) for s in our_long))
+
+
+def test_reference_scaff_F_consumes_our_read_in_gap(pe_workspace):
+    """Our `map -f` binary .readInGap (output1read record format:
+    int32 len/ctg/pos + tightString bytes, prlRead2Ctg.c:422-446)
+    feeds the reference's `scaff -F` gap filler (loadReads4gap,
+    prlReadFillGap.c:158-197) without error, and the joined
+    transcripts still come out."""
+    d = pe_workspace["dir"]
+    cfg = pe_workspace["cfg"]
+    cross = os.path.join(d, "crossF")
+    link_files(pe_workspace["our"], cross, CONTIG_FILES)
+    # rerun OUR map with -f to produce the gap payloads
+    cli.main(["map", "-s", cfg, "-g", cross, "-f"])
+    assert os.path.getsize(cross + ".readInGap") > 0
+    r = subprocess.run(
+        [pe_workspace["binary"], "scaff", "-g", cross, "-F", "-p", "2"],
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    out = r.stdout.decode()
+    assert "Loaded" in out and ".readInGap" in out, out[-800:]
+    seqs = read_fasta_seqs(cross + ".scafSeq")
+    t1, t2 = pe_workspace["transcripts"]
+
+    def joined(a, b):
+        for s in seqs:
+            for cand in (s, bits.revcomp_str(s)):
+                ia, ib = cand.find(a[40:120]), cand.find(b[40:120])
+                if 0 <= ia < ib:
+                    return True
+        return False
+
+    assert joined(t1[:200], t1[-200:])
+    assert joined(t2[:200], t2[-200:])
