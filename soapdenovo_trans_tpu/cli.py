@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import pickle
 import sys
 import time
@@ -67,6 +68,9 @@ def build_parser():
     cg.add_argument("-q", dest="light_out", type=int, default=5)
     cg.add_argument("-Q", dest="light_flow", type=int, default=2)
     cg.add_argument("-H", dest="high_arc", type=int, default=200)
+    cg.add_argument("-R", dest="reps_tie", action="store_true",
+                    help="splitReps: duplicate repeat edges whose "
+                    "neighbor pairing is resolved by .path read paths")
     cg.add_argument("-S", dest="short_cutoff", type=int, default=48,
                     help="remove short-contig components below this "
                          "length (reference cut_length, contig.c:333)")
@@ -321,6 +325,20 @@ def run_contig_cmd(args, res=None):
               f".preArc")
     else:
         k, table, edges, aset = res.k, res.table, res.edges, res.arcs
+
+    path_file = args.out + ".path"
+    if getattr(args, "reps_tie", False) and os.path.exists(path_file):
+        # solveReps superset (splitReps.c:456; never reached in the
+        # reference Trans flow) — resolve repeats with read paths
+        from .graph import split_reps
+        from .io import graph_files as _gf
+        file_id, _o, nxt = _gf.edge_file_ids(edges)
+        inv = np.full(nxt + 1, -1, np.int64)
+        inv[file_id] = np.arange(file_id.shape[0])
+        tri = split_reps.path_triples(
+            stagefiles.read_path_bin(path_file), inv)
+        edges, aset, n_split = split_reps.solve_reps(edges, aset, tri)
+        print(f"[contig] splitReps: {n_split} repeat edges split")
 
     params = contig_stage.ContigParams(
         weak_cvg=10 * getattr(args, "edge_cov", 2),

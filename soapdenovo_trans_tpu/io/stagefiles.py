@@ -210,6 +210,23 @@ class PathRecorder:
         return np.minimum(self.markers, 255)
 
 
+def read_path_bin(path: str):
+    """Parse a binary `.path` file back into per-read 1-based edge
+    file-id arrays (inverse of PathRecorder; record layout matches the
+    reference's recordPathBin, prlRead2path.c:507-573)."""
+    out = []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        out.append(np.frombuffer(data, "<u4", count=n, offset=pos)
+                   .astype(np.int64))
+        pos += 4 * n
+    return out
+
+
 def write_mark_on_edge(path: str, markers: np.ndarray,
                        n_edges_file: int) -> None:
     """.markOnEdge: one saturating count per edge file id 1..num_ed

@@ -13,7 +13,12 @@ from soapdenovo_trans_tpu.stages import map as map_stage
 K = 15
 
 
-def unique_kmer_seq(rng, n, k=K):
+def unique_kmer_seq(rng, n, k=K, taken=None):
+    """Random sequence whose canonical k-mers are unique — also vs the
+    (mutated) ``taken`` set, so multi-sequence fixtures can guarantee
+    no accidental cross-sequence repeats (the session-scoped rng means
+    suite order changes the stream; collisions must be impossible, not
+    merely unlikely)."""
     while True:
         s = "".join(rng.choice(list("ACGT"), size=n))
         cans = set()
@@ -21,11 +26,13 @@ def unique_kmer_seq(rng, n, k=K):
         for j in range(n - k + 1):
             win = s[j : j + k]
             can = min(win, bits.revcomp_str(win))
-            if can in cans:
+            if can in cans or (taken is not None and can in taken):
                 ok = False
                 break
             cans.add(can)
         if ok:
+            if taken is not None:
+                taken |= cans
             return s
 
 
@@ -99,9 +106,10 @@ def test_multi_not_met(rng):
 def test_ambiguous_kmers_dropped(rng):
     # Y-branch: the junction vertex kmer ends contig P and starts both
     # branch contigs -> occurs multiple times -> ambiguous -> dropped
-    p = unique_kmer_seq(rng, 80)
-    t1 = p + "A" + unique_kmer_seq(rng, 40)
-    t2 = p + "C" + unique_kmer_seq(rng, 40)
+    taken = set()
+    p = unique_kmer_seq(rng, 80, taken=taken)
+    t1 = p + "A" + unique_kmer_seq(rng, 40, taken=taken)
+    t2 = p + "C" + unique_kmer_seq(rng, 40, taken=taken)
     table, ctg = assemble_contigs([t1, t2])
     index = map_stage.build_contig_index(ctg, table, K)
     n = int(index.n)
@@ -116,8 +124,9 @@ def test_ambiguous_kmers_dropped(rng):
 
 def test_footprint_gap_spanning(rng):
     # a read overlapping two contigs qualifies on both -> footprint
-    t1 = unique_kmer_seq(rng, 120)
-    t2 = unique_kmer_seq(rng, 120)
+    taken = set()
+    t1 = unique_kmer_seq(rng, 120, taken=taken)
+    t2 = unique_kmer_seq(rng, 120, taken=taken)
     table, ctg = assemble_contigs([t1, t2])
     index = map_stage.build_contig_index(ctg, table, K)
     read = t1[-30:] + t2[:30]  # 30bp on each: 16 kmers per side
