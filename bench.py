@@ -74,12 +74,12 @@ def main():
     total_kmers = 2 * BATCH * (READ_LEN - K + 1)
 
     def counting_phase(x1, x2):
-        # the production path: fused chop+pack+dedup per batch,
-        # merge-path kernel LSM merge (on TPU), one finalize
-        t1 = dictionary.build_packed_from_reads(x1, lengths, K)
-        t2 = dictionary.build_packed_from_reads(x2, lengths, K)
-        merged = dictionary.merge_packed(t1, t2)
-        return dictionary.finalize(merged, K)
+        # the production path: fused chop+pack+dedup per batch with
+        # overlapped dispatch, then the merge-path kernel LSM merge
+        # fused straight into finalize (no dedup pass between)
+        t1, t2 = dictionary.build_packed_from_reads_many(
+            [(x1, lengths), (x2, lengths)], K)
+        return dictionary.merge_finalize(t1, t2, K)
 
     table = counting_phase(d1, d2)  # warmup/compile
     assert int(table.n) > 0

@@ -1,0 +1,220 @@
+"""Full-pipeline wall-clock comparison vs the reference binary.
+
+BASELINE.md's wall-clock target is stage-level: assemble a realistic
+RNA-seq dataset through pregraph -> contig -> map -> scaff in less
+wall-clock than the 8-core reference.  bench.py measures the counting
+kernel; this script measures the WHOLE pipeline on the same dataset:
+
+* synthesizes a transcriptome (N_TX transcripts, isoform pairs with
+  SNPs, uniform base composition) and paired-end reads at ~COV x
+  coverage with sequencing errors;
+* runs the reference SOAPdenovo-Trans-31mer (compiled from
+  /root/reference/src) 'all' with -p 8 on this host, timing each
+  stage from its own log;
+* runs our CLI 'all' on the attached TPU chip, timing each stage;
+* prints a stage-by-stage table and writes PERF.md.
+
+Usage: python perf_e2e.py [--pairs 500000] [--tx 5000]
+
+This is an operator tool, not a test — it takes minutes.  The suite's
+correctness oracles are in tests/; the honest single-metric bench
+stays bench.py (the driver contract).
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+K = 23
+READ_LEN = 100
+INS = 300
+TX_LEN = 1500
+
+REF_SRC = "/root/reference/src"
+REF_BIN = "/tmp/SOAPdenovo-Trans-31mer"
+
+CODE = np.array(list("ACGT"))
+
+
+def build_reference():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    bd = "/tmp/ref_oracle_build"
+    shutil.copytree(REF_SRC, bd, dirs_exist_ok=True)
+    subprocess.run(["make"], cwd=bd, capture_output=True, timeout=600)
+    if not os.path.exists(REF_BIN):
+        raise RuntimeError("reference build failed")
+    return REF_BIN
+
+
+def synth(workdir, n_tx, n_pairs, seed=0, err=0.002):
+    rng = np.random.default_rng(seed)
+    txs = rng.integers(0, 4, size=(n_tx, TX_LEN), dtype=np.int8)
+    # half the transcripts get a SNP isoform (transcriptome realism:
+    # bubbles for the contig stage to pinch)
+    iso = txs[: n_tx // 2].copy()
+    pos = rng.integers(200, TX_LEN - 200, size=iso.shape[0])
+    iso[np.arange(iso.shape[0]), pos] = (
+        iso[np.arange(iso.shape[0]), pos] + 1) % 4
+    pool = np.concatenate([txs, iso])
+
+    t_idx = rng.integers(0, pool.shape[0], size=n_pairs)
+    s = rng.integers(0, TX_LEN - INS + 1, size=n_pairs)
+    offs = np.arange(READ_LEN)
+    r1 = pool[t_idx[:, None], (s[:, None] + offs)]
+    r2 = pool[t_idx[:, None], (s[:, None] + INS - READ_LEN + offs)]
+    r2 = r2[:, ::-1] ^ 2  # revcomp: A0 C1 T2 G3 code space, comp = b^2
+    for r in (r1, r2):
+        n_err = int(err * r.size)
+        ei = rng.integers(0, r.shape[0], size=n_err)
+        ej = rng.integers(0, r.shape[1], size=n_err)
+        r[ei, ej] = (r[ei, ej] + rng.integers(1, 4, size=n_err)) % 4
+
+    fa1 = os.path.join(workdir, "reads_1.fa")
+    fa2 = os.path.join(workdir, "reads_2.fa")
+    for fa, r in ((fa1, r1), (fa2, r2)):
+        chars = CODE[r]  # (n, L) of single chars
+        seqs = chars.view(f"U{READ_LEN}").ravel()
+        with open(fa, "w") as fh:
+            for i in range(0, len(seqs), 100000):
+                block = seqs[i:i + 100000]
+                fh.write("".join(
+                    f">r{i + j}\n{block[j]}\n" for j in range(len(block))))
+    cfg = os.path.join(workdir, "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len={READ_LEN}\n[LIB]\navg_ins={INS}\n"
+                 f"reverse_seq=0\nasm_flags=3\n"
+                 f"f1={fa1}\nf2={fa2}\n")
+    return cfg
+
+
+def run_ref(binary, cfg, out):
+    stages = [
+        ("pregraph", [binary, "pregraph", "-s", cfg, "-K", str(K),
+                      "-p", "8", "-o", out]),
+        ("contig", [binary, "contig", "-g", out]),
+        ("map", [binary, "map", "-s", cfg, "-g", out, "-p", "8"]),
+        ("scaff", [binary, "scaff", "-g", out, "-p", "8"]),
+    ]
+    times = {}
+    for name, cmd in stages:
+        t0 = time.time()
+        r = subprocess.run(cmd, capture_output=True, timeout=7200)
+        times[name] = time.time() - t0
+        if r.returncode != 0:
+            print(r.stdout.decode()[-2000:], r.stderr.decode()[-2000:])
+            raise RuntimeError(f"reference {name} failed")
+        print(f"[ref] {name}: {times[name]:.1f}s")
+    return times
+
+
+def run_ours(cfg, out):
+    from soapdenovo_trans_tpu import cli
+
+    stages = [
+        ("pregraph", ["pregraph", "-s", cfg, "-K", str(K), "-o", out]),
+        ("contig", ["contig", "-g", out]),
+        ("map", ["map", "-s", cfg, "-g", out]),
+        ("scaff", ["scaff", "-g", out]),
+    ]
+    times = {}
+    for name, argv in stages:
+        t0 = time.time()
+        cli.main(argv)
+        times[name] = time.time() - t0
+        print(f"[ours] {name}: {times[name]:.1f}s")
+    return times
+
+
+def n50(path, min_len=100):
+    lens = []
+    cur = 0
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith(">"):
+                if cur >= min_len:
+                    lens.append(cur)
+                cur = 0
+            else:
+                cur += len(line.strip())
+    if cur >= min_len:
+        lens.append(cur)
+    lens.sort(reverse=True)
+    tot = sum(lens)
+    acc = 0
+    for L in lens:
+        acc += L
+        if acc * 2 >= tot:
+            return len(lens), tot, L
+    return len(lens), tot, 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=500000)
+    ap.add_argument("--tx", type=int, default=5000)
+    ap.add_argument("--skip-ref", action="store_true")
+    args = ap.parse_args()
+
+    workdir = "/tmp/perf_e2e"
+    os.makedirs(workdir, exist_ok=True)
+    print(f"[synth] {args.tx} transcripts (+SNP isoforms), "
+          f"{args.pairs} PE pairs x 2x{READ_LEN}bp ...")
+    t0 = time.time()
+    cfg = synth(workdir, args.tx, args.pairs)
+    print(f"[synth] done ({time.time() - t0:.1f}s)")
+
+    ours = run_ours(cfg, os.path.join(workdir, "ours"))
+    if not args.skip_ref:
+        ref = run_ref(build_reference(), cfg,
+                      os.path.join(workdir, "ref"))
+    else:
+        ref = {}
+
+    rows = []
+    tot_o = sum(ours.values())
+    tot_r = sum(ref.values()) if ref else 0
+    for name in ("pregraph", "contig", "map", "scaff"):
+        r = ref.get(name)
+        rows.append(f"| {name} | {ours[name]:.1f} | "
+                    f"{f'{r:.1f}' if r else '-'} | "
+                    f"{f'{r / ours[name]:.2f}x' if r else '-'} |")
+    rows.append(f"| **total** | **{tot_o:.1f}** | "
+                f"{f'**{tot_r:.1f}**' if ref else '-'} | "
+                f"{f'**{tot_r / tot_o:.2f}x**' if ref else '-'} |")
+
+    no, bo, n50o = n50(os.path.join(workdir, "ours.scafSeq"))
+    stats = [f"ours: {no} transcripts, {bo} bp, N50 {n50o}"]
+    if ref:
+        nr, br, n50r = n50(os.path.join(workdir, "ref.scafSeq"))
+        stats.append(f"ref: {nr} transcripts, {br} bp, N50 {n50r}")
+
+    table = "\n".join(rows)
+    kmers = 2 * args.pairs * 2 * (READ_LEN - K + 1) / 1e6
+    doc = f"""# PERF — full-pipeline wall-clock vs the reference binary
+
+Dataset: {args.tx} transcripts x {TX_LEN}bp (half with SNP isoforms),
+{args.pairs} PE pairs (2x{READ_LEN}bp, ins {INS}, 0.2% errors)
+= {2 * args.pairs} reads, {kmers:.0f}M k-mers at K={K}.
+Reference: SOAPdenovo-Trans-31mer -O3, `-p 8` on this host's 2 vCPUs.
+Ours: one tunneled TPU chip + this host for the host passes.
+Measured {time.strftime('%Y-%m-%d')} by `python perf_e2e.py`.
+
+| stage | ours (s) | reference (s) | speedup |
+|---|---|---|---|
+{table}
+
+Output sanity ({'; '.join(stats)}).
+"""
+    with open("PERF.md", "w") as fh:
+        fh.write(doc)
+    print(doc)
+
+
+if __name__ == "__main__":
+    main()

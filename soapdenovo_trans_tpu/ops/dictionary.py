@@ -217,6 +217,17 @@ def build_packed_from_reads(seqs, lengths, k: int,
     return _fit_packed(rows, count, n, cap or round_up(max(n, 1)))
 
 
+def build_packed_from_reads_many(batches, k: int) -> list:
+    """Build several batches with OVERLAPPED dispatch: all device
+    programs are enqueued before any host sync, so batch i+1 executes
+    while the host waits on batch i's row count (each sequential
+    build_packed_from_reads call hides none of the ~20 ms
+    dispatch+read latency of a tunneled chip)."""
+    outs = [_build_from_reads_device(s, l, k) for s, l in batches]
+    return [_fit_packed(r, c, int(n), round_up(max(int(n), 1)))
+            for r, c, n in outs]
+
+
 @jax.jit
 def _merge_packed_device(rows, count):
     n_tot, wp = rows.shape
@@ -348,7 +359,44 @@ def finalize(pt: PackedTable, k: int, cap: int | None = None) -> KmerTable:
     """Accumulated PackedTable -> KmerTable (once per counting phase)."""
     uniq_keys, count, l_cov, r_cov, num_unique = _finalize_device(
         pt.rows, pt.count, k)
-    n = int(num_unique)
+    return _fit_table(uniq_keys, count, l_cov, r_cov, int(num_unique), cap)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _merge_finalize_device(rows, count, k):
+    n_tot, wp = rows.shape
+    res = jax.lax.sort(
+        tuple(rows[:, i] for i in range(wp)) + (count,), num_keys=wp)
+    return _finalize_device.__wrapped__(
+        jnp.stack(res[:wp], axis=-1), res[wp], k)
+
+
+def merge_finalize(a: PackedTable, b: PackedTable, k: int,
+                   cap: int | None = None) -> KmerTable:
+    """FINAL LSM merge + finalize fused: the dedup compaction between
+    them is skipped entirely — _finalize_device aggregates per KEY
+    from sorted rows with counts, so duplicate (k-mer, context) rows
+    are absorbed by its cumsums.  Saves a full compaction sort and a
+    host resize round-trip on the counting phase's critical path."""
+    wp = a.rows.shape[-1]
+    if _use_merge_kernel(wp):
+        from ..kernels import merge_path
+
+        rows, count = merge_path.merge_sorted_rows(
+            a.rows, a.count, b.rows, b.count, a.n, b.n)
+        uniq_keys, count_u, l_cov, r_cov, num_unique = _finalize_device(
+            rows, count, k)
+    else:
+        rows = jnp.concatenate([a.rows, b.rows])
+        count = jnp.concatenate([a.count, b.count])
+        uniq_keys, count_u, l_cov, r_cov, num_unique = \
+            _merge_finalize_device(rows, count, k)
+    return _fit_table(uniq_keys, count_u, l_cov, r_cov, int(num_unique),
+                      cap)
+
+
+def _fit_table(uniq_keys, count, l_cov, r_cov, n: int,
+               cap: int | None) -> KmerTable:
     cap = cap or round_up(max(n, 1))
     w = uniq_keys.shape[-1]
     if cap <= uniq_keys.shape[0]:

@@ -92,10 +92,17 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
         forest.insert(dictionary.build_packed_from_reads(
             jnp.asarray(codes), jnp.asarray(lengths), k))
         n_reads += int((np.asarray(lengths) > 0).sum())
-    packed = forest.finish()
-    if packed is None:
+    levels = [t for t in forest.levels if t is not None]
+    if not levels:
         raise ValueError("no reads")
-    return dictionary.finalize(packed, k)
+    if len(levels) == 1:
+        return dictionary.finalize(levels[0], k)
+    # fold all but the last merge normally; fuse the FINAL merge with
+    # finalize (skips one dedup compaction sort + host round-trip)
+    acc = levels[0]
+    for t in levels[1:-1]:
+        acc = dictionary.merge_packed(acc, t)
+    return dictionary.merge_finalize(acc, levels[-1], k)
 
 
 def _count_reads_sharded(batches, k: int, mesh):

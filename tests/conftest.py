@@ -23,6 +23,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles hundreds of small
+# jit programs; caching them across runs cuts wall-clock several-fold
+# and shrinks the in-process compiler load (one full-suite run
+# segfaulted inside XLA:CPU backend_compile after ~100 compilations).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # CLI runs take the dense pregraph path by default: the mesh-resident
 # path's routed-primitive compiles dominate on tiny fixtures (it is
 # covered explicitly by test_sharded_count / test_sharded_pregraph /

@@ -90,6 +90,22 @@ def test_merge_matches_single_build(rng):
     assert np.array_equal(np.asarray(merged.r_cov[:n]), np.asarray(whole.r_cov[:n]))
 
 
+def test_merge_finalize_matches_single_build(rng):
+    """merge_finalize (final merge fused into finalize, NO dedup pass
+    between) must equal the whole-input build byte for byte."""
+    k = 23
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(30)]
+    whole = dictionary.build(make_stream(seqs, k), k)
+    t1 = dictionary.build_packed(make_stream(seqs[:7], k), k)
+    t2 = dictionary.build_packed(make_stream(seqs[7:], k), k)
+    merged = dictionary.merge_finalize(t1, t2, k)
+    n = int(whole.n)
+    assert int(merged.n) == n
+    for a, b in [(merged.keys, whole.keys), (merged.count, whole.count),
+                 (merged.l_cov, whole.l_cov), (merged.r_cov, whole.r_cov)]:
+        assert np.array_equal(np.asarray(a[:n]), np.asarray(b[:n]))
+
+
 def test_lookup(rng):
     k = 23
     seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(10)]

@@ -103,13 +103,41 @@ def test_multi_not_met(rng):
     assert int(pl.ctg[0]) == -1
 
 
+def _y_branch_fixture(rng):
+    """p + {A,C} + branch with NO accidental repeats anywhere.
+
+    unique_kmer_seq guards each piece's own windows, but the
+    junction-SPANNING windows (suffix of p + joint base + branch
+    prefix) are only determined after concatenation — verify the full
+    canonical k-mer multiset and regenerate on any collision, so the
+    graph is a clean Y regardless of the session rng stream position.
+    """
+    from collections import Counter
+
+    while True:
+        taken = set()
+        p = unique_kmer_seq(rng, 80, taken=taken)
+        t1 = p + "A" + unique_kmer_seq(rng, 40, taken=taken)
+        t2 = p + "C" + unique_kmer_seq(rng, 40, taken=taken)
+        cnt = Counter()
+        for t in (t1, t2):
+            for j in range(len(t) - K + 1):
+                w = t[j : j + K]
+                cnt[min(w, bits.revcomp_str(w))] += 1
+        p_kmers = {
+            min(p[j : j + K], bits.revcomp_str(p[j : j + K]))
+            for j in range(len(p) - K + 1)
+        }
+        # only kmers fully inside the shared prefix p may occur twice
+        if all(c == 1 or (c == 2 and km in p_kmers)
+               for km, c in cnt.items()):
+            return p, t1, t2
+
+
 def test_ambiguous_kmers_dropped(rng):
     # Y-branch: the junction vertex kmer ends contig P and starts both
     # branch contigs -> occurs multiple times -> ambiguous -> dropped
-    taken = set()
-    p = unique_kmer_seq(rng, 80, taken=taken)
-    t1 = p + "A" + unique_kmer_seq(rng, 40, taken=taken)
-    t2 = p + "C" + unique_kmer_seq(rng, 40, taken=taken)
+    p, t1, t2 = _y_branch_fixture(rng)
     table, ctg = assemble_contigs([t1, t2])
     index = map_stage.build_contig_index(ctg, table, K)
     n = int(index.n)

@@ -240,3 +240,62 @@ def test_contig_parity_at_k31(rng, ref_binary, tmp_path):
     assert ref_contigs == our_contigs, (
         sorted(len(s) for s in ref_contigs),
         sorted(len(s) for s in our_contigs))
+
+
+@pytest.fixture(scope="session")
+def ref_binary_63():
+    """The MER63 compile variant (src/Makefile:21-23): K up to 63 as
+    2x u64 in the reference."""
+    binary = os.path.join("/tmp", "SOAPdenovo-Trans-63mer")
+    if not os.path.exists(binary):
+        if not os.path.isdir(REF_SRC):
+            pytest.skip("reference source unavailable")
+        bd = "/tmp/ref_oracle_build63"
+        shutil.copytree(REF_SRC, bd, dirs_exist_ok=True)
+        r = subprocess.run(["make", "63mer=1"], cwd=bd,
+                           capture_output=True, timeout=600)
+        if not os.path.exists(binary):
+            pytest.skip(f"reference 63mer build failed: {r.stderr[-500:]}")
+    return binary
+
+
+def test_contig_parity_at_k41_multiword(ref_binary_63, tmp_path):
+    """K=41 — beyond one u64: the reference needs its MER63 build
+    (every kmer op #ifdef-triplicated, src/kmer.c throughout); here
+    the SAME parameterized (..., W)-lane uint32 path covers all K
+    13..127.  Oracle parity exercises the 3-lane packing end to end."""
+    from tests.test_e2e import unique_kmer_seq
+
+    rng2 = np.random.default_rng(41)
+    transcripts = [unique_kmer_seq(rng2, 350, 31) for _ in range(3)]
+    reads = []
+    for t in transcripts:
+        for i in range(0, len(t) - 60 + 1, 3):
+            r = t[i : i + 60]
+            reads.append(bits.revcomp_str(r) if rng2.random() < 0.5
+                         else r)
+    rng2.shuffle(reads)
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len=60\n[LIB]\nasm_flags=3\nf={fa}\n")
+
+    ref_out = os.path.join(str(tmp_path), "refasm")
+    subprocess.run(
+        [ref_binary_63, "pregraph", "-s", cfg, "-K", "41", "-p", "2",
+         "-o", ref_out], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [ref_binary_63, "contig", "-g", ref_out], capture_output=True,
+        timeout=300, check=True)
+    ref_contigs = {canon(s) for s in read_fasta_seqs(ref_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs
+
+    our_out = os.path.join(str(tmp_path), "ourasm")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", "41"])
+    our_contigs = {canon(s) for s in read_fasta_seqs(our_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs == our_contigs, (
+        sorted(len(s) for s in ref_contigs),
+        sorted(len(s) for s in our_contigs))
