@@ -46,9 +46,11 @@ def build_reference():
         return REF_BIN
     bd = "/tmp/ref_oracle_build"
     shutil.copytree(REF_SRC, bd, dirs_exist_ok=True)
-    subprocess.run(["make"], cwd=bd, capture_output=True, timeout=600)
+    r = subprocess.run(["make"], cwd=bd, capture_output=True, text=True,
+                       timeout=600)
     if not os.path.exists(REF_BIN):
-        raise RuntimeError("reference build failed")
+        raise RuntimeError(
+            f"reference build failed (rc={r.returncode}): {r.stderr[-500:]}")
     return REF_BIN
 
 
@@ -68,7 +70,7 @@ def synth(workdir, n_tx, n_pairs, seed=0, err=0.002):
     offs = np.arange(READ_LEN)
     r1 = pool[t_idx[:, None], (s[:, None] + offs)]
     r2 = pool[t_idx[:, None], (s[:, None] + INS - READ_LEN + offs)]
-    r2 = r2[:, ::-1] ^ 2  # revcomp: A0 C1 T2 G3 code space, comp = b^2
+    r2 = 3 - r2[:, ::-1]  # revcomp in CODE='ACGT' space: comp(b) = 3-b
     for r in (r1, r2):
         n_err = int(err * r.size)
         ei = rng.integers(0, r.shape[0], size=n_err)
@@ -195,7 +197,7 @@ def main():
         stats.append(f"ref: {nr} transcripts, {br} bp, N50 {n50r}")
 
     table = "\n".join(rows)
-    kmers = 2 * args.pairs * 2 * (READ_LEN - K + 1) / 1e6
+    kmers = 2 * args.pairs * (READ_LEN - K + 1) / 1e6
     doc = f"""# PERF — full-pipeline wall-clock vs the reference binary
 
 Dataset: {args.tx} transcripts x {TX_LEN}bp (half with SNP isoforms),

@@ -653,9 +653,33 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
     return recs
 
 
+def _configure_jit_economy():
+    """Pipeline runs compile MANY data-dependent shapes; on tunneled
+    TPU backends each XLA compile costs tens of seconds while the
+    programs themselves run in milliseconds.  Two levers: a persistent
+    compilation cache (compile each program once per machine, ever)
+    and power-of-two capacity quantization (collapse the shape space).
+    Standalone kernels/benches that want exact capacities are
+    unaffected — this only runs from the CLI driver."""
+    import jax
+
+    from .ops import dictionary
+
+    if os.environ.get("SOAPDENOVO_TPU_CAP_MODE") is None:
+        dictionary.CAP_MODE = "pow2"
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("SOAPDENOVO_TPU_COMPILE_CACHE",
+                                         "/tmp/jax_sdt_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(argv=None):
     from .utils import profiling
 
+    _configure_jit_economy()
     args = build_parser().parse_args(argv)
     profiling.reset()
     t0 = time.time()

@@ -53,7 +53,6 @@ from . import unitigs
 
 SEQ_CAP = 384    # longest differing-path sequence considered per side
 CAND_CAP = 1024  # candidates arbitrated per wave (rest -> next wave)
-MAX_WAVES = 8
 
 
 def _params_for(merge_level: int) -> Tuple[int, int]:
@@ -134,8 +133,8 @@ def _path_seq(nodes, eg, seq_cap: int):
     return jnp.where(hit, base, 250), total
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _wave(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _wave(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet, failed,
           m_max: int, diff: int, seq_cap: int, cand_cap: int):
     e_cap = eg.length.shape[0]
     a_cap = aset.from_ed.shape[0]
@@ -159,9 +158,10 @@ def _wave(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
     prev = jnp.full(e_cap, -1, jnp.int32).at[
         jnp.where(head, s_to, e_cap)].set(s_from, mode="drop")
 
-    # 2. candidates: non-forest arcs, weakest minority first
+    # 2. candidates: non-forest arcs not yet examined-and-rejected
+    # since the last graph change, weakest minority first
     tree = _gather_or(prev, aset.to_ed, -1) == aset.from_ed
-    cand = varc & ~tree
+    cand = varc & ~tree & ~failed
     n_cand = jnp.sum(cand.astype(jnp.int32))
     res = jax.lax.sort(
         ((~cand).astype(jnp.int32), jnp.where(cand, cvg_f, BIG),
@@ -312,25 +312,48 @@ def _wave(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
     new_mult = jnp.where(new_f >= 0, aset.mult, 0)
 
     overflow = jnp.maximum(n_cand - cand_cap, 0)
+    # examined candidates rejected by the checks themselves (not by
+    # claim arbitration — those must retry) are reported so the driver
+    # can skip them until the graph next changes.  When n_merged == 0
+    # no candidate was `ok` at all (the globally minimal (rank, cid)
+    # ok-candidate always wins every edge it claims), so marking all
+    # examined candidates failed is exact.
+    fail_mark = cmask & ~ok
     return (cvg2, deleted2, new_f, new_t, new_mult,
-            n_backtracked, n_compared, n_merged, overflow)
+            n_backtracked, n_compared, n_merged, overflow,
+            cid_arc, fail_mark)
 
 
 def pinch(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
           k: int, merge_level: int):
-    """Wave-parallel Tour-Bus to fixpoint.  Returns (eg, aset, stats)."""
+    """Wave-parallel Tour-Bus to true fixpoint (bubble.c:2123-2126's
+    HasChanged loop).  Returns (eg, aset, stats).
+
+    The loop is bounded only by graph change: every productive wave
+    deletes at least one edge, and between graph changes each
+    unproductive wave permanently rejects a fresh CAND_CAP-chunk of
+    the remaining candidates (the `failed` mask), so arbitrarily many
+    simultaneous bubbles drain without growing any static buffer."""
     m_max, diff = _params_for(merge_level)
-    stats = {"backtracked": 0, "compared": 0, "merged": 0}
-    for _ in range(MAX_WAVES):
-        (cvg2, deleted2, nf, nt, nm,
-         n_back, n_cmp, n_merged, overflow) = _wave(
-            eg, aset, m_max, diff, SEQ_CAP, CAND_CAP)
+    stats = {"backtracked": 0, "compared": 0, "merged": 0, "waves": 0}
+    failed = jnp.zeros(aset.from_ed.shape[0], bool)
+    while True:
+        stats["waves"] += 1
+        (cvg2, deleted2, nf, nt, nm, n_back, n_cmp, n_merged,
+         overflow, cid_arc, fail_mark) = _wave(
+            eg, aset, failed, m_max, diff, SEQ_CAP, CAND_CAP)
         n = int(n_merged)
         stats["backtracked"] += int(n_back)
         stats["compared"] += int(n_cmp)
-        if n == 0 and int(overflow) == 0:
-            break
         if n == 0:
+            if int(overflow) == 0:
+                break
+            # chunk exhausted without a merge: retire it, examine the
+            # next cand_cap-chunk of candidates in the next wave
+            a_cap = failed.shape[0]
+            failed = failed.at[
+                jnp.where(fail_mark, cid_arc, a_cap)].set(
+                True, mode="drop")
             continue
         stats["merged"] += n
         eg = eg._replace(cvg=cvg2, deleted=deleted2)
@@ -339,4 +362,7 @@ def pinch(eg: unitigs.EdgeGraph, aset: arcs_mod.ArcSet,
             jnp.full(1, -1, jnp.int32), jnp.full(1, -1, jnp.int32),
             jnp.zeros(1, jnp.int32), jnp.int32(0))
         aset = arcs_mod.merge_arcs(remapped, empty, eg.twin)
+        # the merge changed the graph: every rejected candidate may be
+        # mergeable now — clear the mask (sized to the rebuilt ArcSet)
+        failed = jnp.zeros(aset.from_ed.shape[0], bool)
     return eg, aset, stats

@@ -32,6 +32,7 @@ bit (2K+7 < 32*WP), so no real row ever equals the sentinel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -76,8 +77,19 @@ def _sort_by_keys(keys: jnp.ndarray, *payload):
     return (sorted_keys,) + tuple(res[w:])
 
 
+# Capacity quantization mode.  "exact" packs tight (fastest sorts,
+# best for fixed-shape benches); "pow2" rounds capacities to powers of
+# two so data-dependent shapes collapse onto a handful of compiled
+# programs — essential on hardware where each XLA compile is tens of
+# seconds (the pipeline driver enables it; cli.main).
+CAP_MODE = os.environ.get("SOAPDENOVO_TPU_CAP_MODE", "exact")
+
+
 def round_up(x: int, m: int = 128) -> int:
-    return ((x + m - 1) // m) * m
+    r = ((x + m - 1) // m) * m
+    if CAP_MODE == "pow2" and r > m:
+        return 1 << (r - 1).bit_length()
+    return r
 
 
 def pack_stream(keys, prev, nxt, valid, k: int | None = None):

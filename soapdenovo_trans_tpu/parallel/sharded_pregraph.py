@@ -41,6 +41,7 @@ AXIS = sharded_graph.AXIS
 # compiled local-step caches, keyed by (mesh id, static geometry)
 _DBG_STEP_CACHE: dict = {}
 _CHOP_STEP_CACHE: dict = {}
+_THREAD_STEP_CACHE: dict = {}
 
 
 class ShardedDBG(NamedTuple):
@@ -347,7 +348,13 @@ def condense_sharded(mesh, routers: Routers, st, deleted, k: int,
     """Sharded unitigs.condense.  Returns (EdgeGraph on host with ids
     into a mini endpoint table, mini KmerTable, node_edge (D, 2cap)
     global-edge ids, node_pos (D, 2cap)) — the last two stay sharded
-    for read threading."""
+    for read threading.
+
+    All table-sized reductions (per-edge length/endpoint/coverage and
+    the sequence-pool scatter) run on the mesh through edge-sharded /
+    pool-sharded Routers; the only host materializations are O(edges)
+    (the final EdgeGraph gather, SURVEY.md §7.3's "gather edges to a
+    replicated array")."""
     from ..graph import unitigs
 
     cap = routers.cap
@@ -399,32 +406,33 @@ def condense_sharded(mesh, routers: Routers, st, deleted, k: int,
         jnp.where(is_head, eid_here, -1), jnp.where(exists, head, -1))
     edge_of = jnp.where(exists, edge_of, -1)
 
-    # edge-level reductions: per-shard partial dense arrays, host max
-    def dense_reduce(idx, val, op, init):
-        part = np.full((d, e_cap), init, np.int64)
-        idx_np = np.asarray(idx)
-        val_np = np.asarray(val)
-        for s in range(d):
-            sel = idx_np[s] >= 0
-            if op == "max":
-                np.maximum.at(part[s], idx_np[s][sel], val_np[s][sel])
-            else:
-                np.add.at(part[s], idx_np[s][sel], val_np[s][sel])
-        return part.max(axis=0) if op == "max" else part.sum(axis=0)
+    # edge-level reductions ride the mesh: edges get their own
+    # contiguously-sharded id space (global edge e lives on shard
+    # e // e_loc), and every per-edge statistic is one routed
+    # segment-scatter instead of a (D, e_cap) host array
+    e_loc = max(1, -(-e_cap // d))
+    edge_router = sharded_graph.Router(mesh, e_loc)
 
-    length = dense_reduce(edge_of, np.asarray(rank) + 1, "max", 0)
-    length = np.maximum(length, 0).astype(np.int32)
+    def edge_reduce(idx, val, op):
+        acc = edge_router.scatter1(idx, val.astype(jnp.int32), op=op)
+        return acc        # (D, e_loc) sharded; _NEG/0 where unwritten
 
-    from_node = dense_reduce(
-        jnp.where(is_head, edge_of, -1), tail_u, "max", -1).astype(np.int64)
-    len_at_arc = length[np.clip(np.asarray(edge_of), 0, e_cap - 1)]
-    is_last = np.asarray(exists) & (np.asarray(rank) == len_at_arc - 1)
-    to_node = dense_reduce(
-        jnp.where(jnp.asarray(is_last), edge_of, -1),
-        succ, "max", -1).astype(np.int64)
-    last_arc = dense_reduce(
-        jnp.where(jnp.asarray(is_last), edge_of, -1),
-        arc_ids, "max", -1).astype(np.int64)
+    def to_host(acc, fill):
+        flat = np.asarray(acc).reshape(-1)[:e_cap].astype(np.int64)
+        return np.maximum(flat, fill)
+
+    length_sh = jnp.maximum(
+        edge_reduce(edge_of, rank + 1, "max"), 0)     # (D, e_loc)
+    length = to_host(length_sh, 0).astype(np.int32)
+
+    from_node = to_host(edge_reduce(
+        jnp.where(is_head, edge_of, -1), tail_u, "max"), -1)
+    len_at_arc = edge_router.gather1(length_sh, edge_of)
+    is_last = exists & (rank == len_at_arc - 1)
+    to_node = to_host(edge_reduce(
+        jnp.where(is_last, edge_of, -1), succ, "max"), -1)
+    last_arc = to_host(edge_reduce(
+        jnp.where(is_last, edge_of, -1), arc_ids, "max"), -1)
 
     # twin edge: eid at head of the twin arc of the last arc
     la_pad = _pad_to_mesh(last_arc, d)
@@ -446,27 +454,31 @@ def condense_sharded(mesh, routers: Routers, st, deleted, k: int,
                     .astype(np.int32))))
     twin_eid = _unpad(twin_eid, e_cap)
 
-    # sequence pool (host scatter — edge-major offsets)
+    # sequence pool: routed scatter into a pool-sharded array —
+    # pool slot seq_off[edge] + rank, written exactly once per
+    # interior position, so a max-scatter is a plain store
     seq_off = np.concatenate([[0], np.cumsum(length)[:-1]]).astype(np.int64)
     s_cap = dictionary.round_up(max(int(length.sum()), 1))
-    seq_pool = np.zeros(s_cap, np.uint8)
-    eo_np = np.asarray(edge_of)
-    rk_np = np.asarray(rank)
-    b_np = np.asarray(base)
-    ex_np = np.asarray(exists)
-    for s in range(d):
-        sel = ex_np[s] & (eo_np[s] >= 0)
-        pool_idx = seq_off[eo_np[s][sel]] + rk_np[s][sel]
-        seq_pool[pool_idx] = b_np[s][sel].astype(np.uint8)
+    p_loc = max(1, -(-s_cap // d))
+    pool_router = sharded_graph.Router(mesh, p_loc)
+    off_pad = np.full(d * e_loc, -1, np.int64)
+    off_pad[:e_cap] = np.where(length > 0, seq_off, -1)
+    seq_off_dev = jnp.asarray(off_pad.reshape(d, e_loc).astype(np.int32))
+    off_at_arc = edge_router.gather1(seq_off_dev, edge_of)
+    pool_idx = jnp.where(exists & (edge_of >= 0) & (off_at_arc >= 0),
+                         off_at_arc + rank, -1)
+    pool_sh = pool_router.scatter1(pool_idx, base, op="max")
+    seq_pool = np.maximum(
+        np.asarray(pool_sh).reshape(-1)[:s_cap], 0).astype(np.uint8)
 
     # coverage: interior-node l_cov sums routed per arc
     l_sum = jnp.sum(st.l_cov, axis=-1)              # (d, cap)
-    interior = ex_np & (rk_np + 1 < len_at_arc)
-    succ_row = jnp.where(jnp.asarray(interior), succ >> 1, -1)
-    int_cov = np.asarray(routers.row.gather1(l_sum, succ_row))
-    symbol = dense_reduce(
-        jnp.asarray(np.where(interior, eo_np, -1)),
-        np.where(interior, int_cov, 0), "add", 0)
+    interior = exists & (rank + 1 < len_at_arc)
+    succ_row = jnp.where(interior, succ >> 1, -1)
+    int_cov = routers.row.gather1(l_sum, succ_row)
+    symbol = to_host(edge_reduce(
+        jnp.where(interior, edge_of, -1),
+        jnp.where(interior, int_cov, 0), "add"), 0)
     fn_pad = _pad_to_mesh(from_node, d)
     from_count = np.asarray(routers.row.gather1(
         st.count, jnp.asarray(
@@ -618,7 +630,6 @@ def _make_chop_step(mesh: Mesh, k: int, r_local: int, read_len: int):
     return jax.jit(mapped)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def _thread_local(eid_flat, valid, lengths, p_kmers, p_rc, p_valid,
                   patch_and_twin, r, p, k):
     """Per-read path-slot logic given resolved edge ids — the local
@@ -719,14 +730,32 @@ def thread_reads_sharded(mesh, routers: Routers, st, deleted,
     eid_flat = jnp.where(rows >= 0, jnp.where(eid_g >= 0, eid_g, -1),
                          -2)
 
-    # the path logic is independent per read: flatten the shard axis
-    # and run one dense call (read-major layout is preserved)
-    f, t, v = _thread_local(
-        jnp.asarray(np.asarray(eid_flat).reshape(-1)),
-        jnp.asarray(np.asarray(valid).reshape(-1).astype(bool)),
-        jnp.asarray(np.asarray(lens_d)),
-        jnp.asarray(np.asarray(k1).reshape(-1, k1.shape[-1])),
-        jnp.asarray(np.asarray(k1_rc).reshape(-1)),
-        jnp.asarray(np.asarray(k1_valid).reshape(-1).astype(bool)),
-        (patch.keys, patch.edge, eg.twin), r, p, k)
-    return np.asarray(f), np.asarray(t), np.asarray(v)
+    # the path logic is independent per read: run it per shard under
+    # shard_map (patch table + edge twins replicated — O(edges)); the
+    # chopped k-mer arrays never leave the mesh, only the (f, t, v)
+    # preArc COO comes back (prlRead2path.c:817-1346's all-device
+    # second read pass)
+    tkey = (id(mesh), k, r_loc, l, int(patch.keys.shape[0]),
+            int(eg.twin.shape[0]))
+    tfn = _THREAD_STEP_CACHE.get(tkey)
+    if tfn is None:
+        def step(eid_s, valid_s, lens_s, k1_s, k1rc_s, k1v_s,
+                 pk, pe, tw):
+            return _thread_local(
+                eid_s.reshape(-1), valid_s.reshape(-1),
+                lens_s.reshape(-1),
+                k1_s.reshape(-1, k1_s.shape[-1]), k1rc_s.reshape(-1),
+                k1v_s.reshape(-1), (pk, pe, tw), r_loc, p, k)
+
+        tfn = jax.jit(jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
+                      P(AXIS, None, None), P(AXIS, None),
+                      P(AXIS, None), P(None, None), P(None), P(None)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS))))
+        _THREAD_STEP_CACHE[tkey] = tfn
+    f, t, v = tfn(eid_flat.reshape(d, -1), valid, lens_d,
+                  k1, k1_rc, k1_valid,
+                  patch.keys, patch.edge, eg.twin)
+    return (np.asarray(f).reshape(-1), np.asarray(t).reshape(-1),
+            np.asarray(v).reshape(-1))

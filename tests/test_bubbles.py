@@ -173,3 +173,31 @@ def test_multinode_bubble_maxnodelength():
     # -M 3 (MAXNODELENGTH 30) must accept and pinch the bubble.
     assert st1["merged"] == 0, st1
     assert st3["merged"] >= 1, st3
+
+
+@pytest.mark.slow
+def test_many_simultaneous_bubbles_all_merged():
+    """>10^4 simultaneous SNP bubbles must ALL pinch — the fixpoint
+    loop drains candidate overflow across waves instead of stopping
+    at a wave cap (bubble.c:2123-2126's HasChanged fixpoint)."""
+    from soapdenovo_trans_tpu.graph import tourbus
+
+    rng = np.random.default_rng(99)
+    k = 23
+    n_bub = 10_500
+    spacing = 100
+    t = "".join(rng.choice(list("ACGT"), size=n_bub * spacing + 200))
+    v = list(t)
+    for i in range(n_bub):
+        pos = 100 + i * spacing
+        v[pos] = "ACGT"[("ACGT".index(v[pos]) + 2) % 4]
+    v = "".join(v)
+    reads = [t] * 3 + [v]  # majority 3x, minority 1x per bubble
+    table, eg, aset = build(reads, k=k)
+    eg2, aset2, stats = tourbus.pinch(eg, aset, k, 1)
+    # random 1Mbp at K=23 has no repeated k-mers in practice; every
+    # SNP is an independent 1-node bubble and every one must merge
+    assert stats["merged"] >= int(0.99 * n_bub), stats
+    alive2 = int(jnp.sum(~eg2.deleted[: int(eg2.n_edges)]))
+    alive0 = int(jnp.sum(~eg.deleted[: int(eg.n_edges)]))
+    assert alive0 - alive2 == 2 * stats["merged"]  # twin pairs deleted

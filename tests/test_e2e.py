@@ -12,6 +12,8 @@ from soapdenovo_trans_tpu.ops import bits
 from soapdenovo_trans_tpu.io import fastx
 from soapdenovo_trans_tpu import cli
 
+pytestmark = pytest.mark.slow
+
 
 def unique_kmer_seq(rng, n, k):
     while True:

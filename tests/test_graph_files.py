@@ -19,6 +19,8 @@ from soapdenovo_trans_tpu.ops import bits
 from tests.test_reference_parity import (
     canon, make_dataset, read_fasta_seqs, ref_binary)  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 
 def contig_set(path, min_len=100):
     return {canon(s) for s in read_fasta_seqs(path) if len(s) >= min_len}

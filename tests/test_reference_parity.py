@@ -14,6 +14,8 @@ from soapdenovo_trans_tpu.ops import bits
 from soapdenovo_trans_tpu.io import fastx
 from soapdenovo_trans_tpu import cli
 
+pytestmark = pytest.mark.slow
+
 REF_SRC = "/root/reference/src"
 BUILD_DIR = "/tmp/ref_oracle_build"
 

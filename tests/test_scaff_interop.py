@@ -31,6 +31,8 @@ from soapdenovo_trans_tpu.ops import bits
 
 from tests.test_reference_parity import read_fasta_seqs, ref_binary  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 K = 23
 CONTIG_FILES = (".updated.edge", ".Arc", ".contig", ".ContigIndex",
                 ".preGraphBasic")

@@ -129,6 +129,7 @@ def test_sharded_pregraph_end_to_end(rng):
         assert np.array_equal(sharded.freq_hist, hist), f"D={d}"
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_cli_pipeline_on_sharded_pregraph(rng, tmp_path, monkeypatch):
     """Full CLI `all` with the mesh-resident pregraph enabled: same
