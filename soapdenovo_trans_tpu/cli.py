@@ -384,6 +384,21 @@ def run_map_cmd(args, ctg=None, table=None):
     index = map_stage.build_contig_index(ctg, table, k)
     full_len = ctg.length + k
 
+    # mesh-resident read pass whenever >1 device is visible (the
+    # reference threads this pass too, prlRead2Ctg.c:656); same env
+    # override as pregraph for the tiny-fixture test suite
+    import jax
+    mesh = sidx = None
+    if len(jax.devices()) > 1 and \
+            not os.environ.get("SOAPDENOVO_TPU_NO_SHARD"):
+        from jax.sharding import Mesh
+
+        from .parallel import sharded_map
+        mesh = Mesh(np.array(jax.devices()), (sharded_map.AXIS,))
+        sidx = sharded_map.shard_index(mesh, index, k)
+        print(f"[map] sharding contig index over "
+              f"{len(jax.devices())} devices")
+
     placements = []
     want_f = getattr(args, "gap_reads", False)
     group_rows = []      # per batch: (read, ctg, ctg_off, read_off,
@@ -399,9 +414,15 @@ def run_map_cmd(args, ctg=None, table=None):
     for codes, lengths, li in fastx.config_read_batches(
             cfg, 4096, purpose=2):
         lib = cfg.libs[li]
-        pl = map_stage.map_reads(
-            jnp.asarray(codes), jnp.asarray(lengths), index, k,
-            map_len=lib.map_len or 32)
+        if mesh is not None:
+            from .parallel import sharded_map
+            pl = sharded_map.map_reads_sharded(
+                mesh, sidx, codes, lengths, k,
+                map_len=lib.map_len or 32)
+        else:
+            pl = map_stage.map_reads(
+                jnp.asarray(codes), jnp.asarray(lengths), index, k,
+                map_len=lib.map_len or 32)
         placements.append((pl, li))
         r, l = codes.shape
         p = l - k + 1
@@ -459,25 +480,32 @@ def run_map_cmd(args, ctg=None, table=None):
                     (int(row_no[t1]) + 1, int(cb[t1]), int(pb[t1]),
                      np.asarray(codes[t1, : lnp[t1]])))
         if want_f and lib.has_pairs:
-            for t2 in range(1, r, 2):
-                if not real[t2 - 1] and not real[t2]:
-                    continue
-                rn1 = int(row_no[t2 - 1]) + 1  # 1-based readnos
-                rn2 = int(row_no[t2]) + 1
-                c1m, c2m = int(cb[t2 - 1]), int(cb[t2])
-                if c1m >= 0 and c2m >= 0:
-                    pe_rows.append((rn1, c1m, int(pb[t2 - 1]),
-                                    c2m, int(pb[t2])))
-                elif c2m < 0 <= c1m and lnp[t2] > 0:
-                    pos = int(pb[t2 - 1]) + ins_for_batch - int(lnp[t2])
-                    gap_rows.append(
-                        (rn2, c1m, pos,
-                         np.asarray(codes[t2, : lnp[t2]])))
-                elif c1m < 0 <= c2m and lnp[t2 - 1] > 0:
-                    pos = int(pb[t2]) + ins_for_batch - int(lnp[t2 - 1])
-                    gap_rows.append(
-                        (rn1, c2m, pos,
-                         np.asarray(codes[t2 - 1, : lnp[t2 - 1]])))
+            # vectorized pair classification (was a per-pair Python
+            # loop): both-mapped -> .PEreadOnContig row; one-mapped ->
+            # unmapped mate dropped into the gap at mate pos + insert
+            t2s = np.arange(1, r, 2)
+            t1s = t2s - 1
+            alive = real[t1s] | real[t2s]
+            c1a, c2a = cb[t1s], cb[t2s]
+            both = alive & (c1a >= 0) & (c2a >= 0)
+            if both.any():
+                pe_rows.append(np.stack(
+                    [row_no[t1s[both]] + 1, c1a[both], pb[t1s[both]],
+                     c2a[both], pb[t2s[both]]], axis=1))
+            only1 = alive & (c1a >= 0) & (c2a < 0) & (lnp[t2s] > 0)
+            only2 = alive & (c2a >= 0) & (c1a < 0) & (lnp[t1s] > 0)
+            for j in np.nonzero(only1)[0]:
+                t1, t2 = t1s[j], t2s[j]
+                gap_rows.append(
+                    (int(row_no[t2]) + 1, int(cb[t1]),
+                     int(pb[t1]) + ins_for_batch - int(lnp[t2]),
+                     np.asarray(codes[t2, : lnp[t2]])))
+            for j in np.nonzero(only2)[0]:
+                t1, t2 = t1s[j], t2s[j]
+                gap_rows.append(
+                    (int(row_no[t1]) + 1, int(cb[t2]),
+                     int(pb[t2]) + ins_for_batch - int(lnp[t1]),
+                     np.asarray(codes[t1, : lnp[t1]])))
         base += n_real
 
     # .peGrads from the map pass's own library accounting, like the
@@ -550,15 +578,17 @@ def run_map_cmd(args, ctg=None, table=None):
         print(f"[map] wrote {args.out}.readInformation "
               f"({g_read.size} alignments)")
     if want_f:
+        pe_flat = np.concatenate(pe_rows) if pe_rows \
+            else np.zeros((0, 5), np.int64)
         stagefiles.write_read_in_gap(args.out + ".readInGap", gap_rows)
         stagefiles.write_pe_read_on_contig(
-            args.out + ".PEreadOnContig.gz", pe_rows)
+            args.out + ".PEreadOnContig.gz", pe_flat)
         stagefiles.write_short_read_in_gap(
             args.out + ".shortreadInGap.gz",
             [(rn, codes) for rn, _c, _p, codes in gap_rows])
         print(f"[map] wrote {len(gap_rows)} gap reads "
               f"(.readInGap/.shortreadInGap.gz), "
-              f"{len(pe_rows)} PE placements (.PEreadOnContig.gz)")
+              f"{pe_flat.shape[0]} PE placements (.PEreadOnContig.gz)")
     print(f"[map] wrote {args.out}.readOnContig/.ctg2Read/.peGrads")
 
 

@@ -153,6 +153,16 @@ def map_reads(seqs, lengths, index: ContigIndex, k: int,
     kpos = jnp.where(hit, index.pos[g], 0).reshape(r, p)
     stored_rc = jnp.where(hit, index.is_rc[g], False).reshape(r, p)
     win_rc = stream.is_rc.reshape(r, p)
+    return vote(ctg_of, kpos, stored_rc, win_rc, lengths,
+                index.ctg_len, index.twin, k, map_len)
+
+
+def vote(ctg_of, kpos, stored_rc, win_rc, lengths, ctg_len_all,
+         twin_all, k: int, map_len: int) -> ReadPlacements:
+    """parse1read's per-read voting given resolved k-mer hits — pure
+    local math, shared by the dense path and the sharded map stage
+    (which resolves hits with a routed lookup first)."""
+    r, p = ctg_of.shape
     win_idx = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (r, p))
 
     # group hits by (read, contig): sort contig ids within each read row
@@ -200,18 +210,17 @@ def map_reads(seqs, lengths, index: ContigIndex, k: int,
     # slot j now holds group j's first-in-read window index
 
     # also need kpos/stored_rc of that min-window hit: gather original
-    hit_flat = hit.reshape(r, p)
     gm = jnp.clip(g_minw, 0, p - 1)
     g_kpos = jnp.take_along_axis(kpos, gm, axis=1)
     g_src = jnp.take_along_axis(stored_rc, gm, axis=1)
     g_wrc = jnp.take_along_axis(win_rc, gm, axis=1)
 
     # orientation resolution (parse1read:311-327)
-    ctg_len_g = index.ctg_len[jnp.clip(g_ctg_raw, 0, None)]
+    ctg_len_g = ctg_len_all[jnp.clip(g_ctg_raw, 0, None)]
     i1 = g_minw + 1  # 1-based kmer offset in read
     same = g_src == g_wrc  # stored orientation matches window orientation
     o_ctg = jnp.where(same, g_ctg_raw,
-                      index.twin[jnp.clip(g_ctg_raw, 0, None)])
+                      twin_all[jnp.clip(g_ctg_raw, 0, None)])
     o_pos = jnp.where(same, g_kpos - i1 + 1,
                       ctg_len_g - g_kpos - k - i1 + 1)
     o_off = jnp.where(same, g_kpos, ctg_len_g - g_kpos - k)

@@ -166,3 +166,48 @@ def test_footprint_gap_spanning(rng):
     # multi = max(5, 20-15+1)=6 <= 16 votes per side => qualify on both
     assert bool(pl2.footprint[0])
     assert int(pl2.ctg[0]) >= 0
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 devices")
+def test_sharded_map_matches_dense(rng):
+    """map_reads_sharded == map_reads on every ReadPlacements field
+    (prlRead2Ctg.c:656 threads this pass; the mesh twin must be a
+    drop-in): placements, groups, footprints, raw coordinates."""
+    import jax
+    from jax.sharding import Mesh
+    from soapdenovo_trans_tpu.parallel import sharded_map
+
+    taken = set()
+    t1 = unique_kmer_seq(rng, 300, taken=taken)
+    t2 = unique_kmer_seq(rng, 250, taken=taken)
+    table, ctg = assemble_contigs([t1, t2])
+    index = map_stage.build_contig_index(ctg, table, K)
+
+    reads = []
+    for t in (t1, t2):
+        for i in range(0, len(t) - 50 + 1, 7):
+            r = t[i : i + 50]
+            reads.append(bits.revcomp_str(r) if rng.random() < 0.5
+                         else r)
+    reads.append(t1[10:27])              # below multi threshold
+    reads.append(t1[-40:] + t2[:40])     # chimeric: two contigs
+    padded, lens = pad(reads)
+    dense = map_stage.map_reads(padded, lens, index, K, map_len=32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (sharded_map.AXIS,))
+    sidx = sharded_map.shard_index(mesh, index, K)
+    # non-multiple-of-D row count exercises the padding path
+    sh = sharded_map.map_reads_sharded(
+        mesh, sidx, np.asarray(padded), np.asarray(lens), K,
+        map_len=32)
+    for f in map_stage.ReadPlacements._fields:
+        a, b = np.asarray(getattr(dense, f)), np.asarray(getattr(sh, f))
+        if f.startswith("g_"):
+            # group slots are per-read-local; compare only valid ones
+            va = np.asarray(dense.g_valid)
+            vb = np.asarray(sh.g_valid)
+            assert np.array_equal(va, vb)
+            assert np.array_equal(a[va], b[vb]), f
+        else:
+            assert np.array_equal(a, b), f

@@ -167,3 +167,37 @@ def test_cli_pipeline_on_sharded_pregraph(rng, tmp_path, monkeypatch):
         canon_set(out_dense + ".contig")
     assert canon_set(out_shard + ".scafSeq") == \
         canon_set(out_dense + ".scafSeq")
+
+    # .readOnContig shard-count invariance: contig ids (and strand
+    # representatives) may permute between runs, so resolve each id
+    # through the .contig headers (twin ids are consecutive,
+    # unprinted) to its canonical sequence.  Exact pos/orient
+    # equality is covered at array level by
+    # test_map.test_sharded_map_matches_dense.
+    def read_on_contig(prefix):
+        id2seq = {}
+        with open(prefix + ".contig") as fh:
+            cid, cur = None, []
+            for line in fh:
+                if line.startswith(">"):
+                    if cid is not None:
+                        id2seq[cid] = "".join(cur)
+                    cid, cur = int(line[1:].split()[0]), []
+                else:
+                    cur.append(line.strip())
+            if cid is not None:
+                id2seq[cid] = "".join(cur)
+
+        def canon_of(c):
+            s = id2seq.get(c) or id2seq.get(c - 1) or id2seq.get(c + 1)
+            return min(s, bits.revcomp_str(s))
+
+        rows = set()
+        with open(prefix + ".readOnContig") as fh:
+            next(fh)  # header
+            for line in fh:
+                rd, c, _pos, _orien = line.split()
+                rows.add((int(rd), canon_of(int(c))))
+        return rows
+
+    assert read_on_contig(out_shard) == read_on_contig(out_dense)
