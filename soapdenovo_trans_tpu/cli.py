@@ -662,10 +662,16 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
                 recs, transcripts, np.asarray(ctg.twin), int(ctg.n))
             rec_of, hits = scaff_stage.reads_on_scaffolds(
                 read_ctg, link_extra.get("read_pos"), owner, len(recs))
-            with open(args.out + ".readOnScaf", "w") as fh:
-                for i, ri in enumerate(rec_of):
-                    if ri >= 0:
-                        fh.write(f"{i + 1}\t{recs[ri][0].split()[0]}\n")
+            # reference-format .readOnScaf: join .readInformation x
+            # .contigPosInscaff (getReadOnScaf, ReadTrace.c:41-160)
+            if os.path.exists(args.out + ".readInformation"):
+                stagefiles.write_read_on_scaf(
+                    args.out, k, np.asarray(ctg.length) + k,
+                    np.asarray(ctg.twin))
+                print(f"[scaff] wrote {args.out}.readOnScaf")
+            else:
+                print("[scaff] -r: no .readInformation (rerun map "
+                      "with -r) — .readOnScaf not written")
             if getattr(args, "rpkm", False):
                 table_r = scaff_stage.rpkm_table(recs, hits)
                 with open(args.out + ".RPKM.Stat", "w") as fh:

@@ -88,7 +88,9 @@ def build_patch(eg: unitigs.EdgeGraph, table: dictionary.KmerTable,
     skeys, sval = dictionary._sort_by_keys(can, val)
     n = int(n_len1)
     cap = dictionary.round_up(max(n, 1))
-    return PatchTable(skeys[:cap], sval[:cap], jnp.int32(n))
+    return PatchTable(
+        dictionary.fit_cap(skeys, cap, jnp.uint32(0xFFFFFFFF)),
+        dictionary.fit_cap(sval, cap, -1), jnp.int32(n))
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
@@ -212,9 +214,9 @@ def count_arcs(from_ed, to_ed, valid, twin) -> ArcSet:
     cap = dictionary.round_up(max(n, 1))
     live = jnp.arange(cap) < n
     return ArcSet(
-        jnp.where(live, uf[:cap], -1),
-        jnp.where(live, ut[:cap], -1),
-        jnp.where(live, mult[:cap], 0),
+        jnp.where(live, dictionary.fit_cap(uf, cap, -1), -1),
+        jnp.where(live, dictionary.fit_cap(ut, cap, -1), -1),
+        jnp.where(live, dictionary.fit_cap(mult, cap, 0), 0),
         jnp.int32(n))
 
 
@@ -244,7 +246,7 @@ def merge_arcs(a: ArcSet, b: ArcSet, twin) -> ArcSet:
     cap = dictionary.round_up(max(n, 1))
     live = jnp.arange(cap) < n
     return ArcSet(
-        jnp.where(live, uf[:cap], -1),
-        jnp.where(live, ut[:cap], -1),
-        jnp.where(live, mult[:cap], 0),
+        jnp.where(live, dictionary.fit_cap(uf, cap, -1), -1),
+        jnp.where(live, dictionary.fit_cap(ut, cap, -1), -1),
+        jnp.where(live, dictionary.fit_cap(mult, cap, 0), 0),
         jnp.int32(n))

@@ -414,7 +414,8 @@ def write_scaf_files(prefix: str, transcripts, recs, ctg_len_excl,
 
 def _stat_section(fo, title, recs, len_cut=100, known_genome_size=0,
                   scaffold_word="scaffolds", count_key="Scaffold_Num",
-                  singletons=False, n_break=False):
+                  singletons=False, n_break=False,
+                  diff_word="scaffold"):
     """One section of the .scafStatistics report (ScafStat,
     reference src/orderContig.c:2421-3090): composition, size ladder,
     N10..N90 with counts, NG50.  recs: [(header, seq)]; records
@@ -423,7 +424,7 @@ def _stat_section(fo, title, recs, len_cut=100, known_genome_size=0,
     kept = [(h, s) for h, s in recs if len(s) >= len_cut]
     if not kept:
         fo.write("Size_includeN\t0\n\n")
-        return
+        return 0, 0
     comp = {c: 0 for c in "ACGTN"}
     non_acgtn = 0
     sizes = []
@@ -512,14 +513,16 @@ def _stat_section(fo, title, recs, len_cut=100, known_genome_size=0,
                 n50 = sizes[i]
                 break
     fo.write("\n")
+    w = diff_word
     if known_genome_size:
         fo.write(f"NG50\t{ng50}\t{num_ng50}\n")
-        fo.write("N50_scaffold-NG50_scaffold_length_difference\t"
+        fo.write(f"N50_{w}-NG50_{w}_length_difference\t"
                  f"{abs(n50 - ng50)}\n")
     else:
         fo.write("NG50\tNaN\tNaN\n")
-        fo.write("N50_scaffold-NG50_scaffold_length_difference\tNaN\n")
+        fo.write(f"N50_{w}-NG50_{w}_length_difference\tNaN\n")
     fo.write("\n")
+    return n, n_singleton
 
 
 def write_scaf_statistics(prefix: str, known_genome_size: int = 0,
@@ -548,14 +551,89 @@ def write_scaf_statistics(prefix: str, known_genome_size: int = 0,
     scaf_recs = _recs(prefix + ".scafSeq")
     ctg_recs = _recs(prefix + ".contig")
     with open(prefix + ".scafStatistics", "w") as fo:
-        _stat_section(
+        n_scaf, n_single = _stat_section(
             fo, f"<-- Information for assembly Scaffold "
                 f"'{prefix}.scafSeq'.(cut_off_length < {len_cut}bp) -->",
             scaf_recs, len_cut, known_genome_size,
             scaffold_word="scaffolds", count_key="Scaffold_Num",
             singletons=True)
-        _stat_section(
+        n_ctg, _ = _stat_section(
             fo, f"<-- Information for assembly Contig "
                 f"'{prefix}.contig'.(cut_off_length < {len_cut}bp) -->",
             ctg_recs, len_cut, known_genome_size,
-            scaffold_word="Contig", count_key="Contig_Num")
+            scaffold_word="Contig", count_key="Contig_Num",
+            diff_word="contig")
+        # closing summary (ScafStat tail, orderContig.c:3079-3085):
+        # singleton count from the SCAFFOLD section, contig count from
+        # the contig section, average contigs per scaffold record
+        fo.write("Number_of_contigs_in_scaffolds(Singleton)\t"
+                 f"{n_single}\n")
+        fo.write(f"Number_of_contigs_not_in_scaffolds\t"
+                 f"{n_ctg - n_single}\n")
+        avg = 1.0 * n_ctg / n_scaf if n_scaf else 0.0
+        fo.write(f"Average_number_of_contigs_per_scaffold\t{avg:.1f}\n")
+        fo.write("\n")
+
+
+def write_read_on_scaf(prefix: str, k: int, full_len, twin) -> None:
+    """.readOnScaf (reference getReadOnScaf, ReadTrace.c:41-160): join
+    .readInformation (read->contig alignments, map -r) with
+    .contigPosInscaff (contig->scaffold placements) into per-scaffold
+    read rows 'readID read_pos scafPos orient alignLength', then
+    append unplaced contigs >= 100bp as '>C<id>' singleton sections.
+
+    Faithful details: the first contig of a scaffold keeps raw
+    coordinates, later contigs subtract the K overlap (and trim
+    alignLength when the read starts inside the overlap); per-contig
+    rows emit in reverse file order (the reference builds a prepend
+    linked list and walks it); both twins are flagged placed.
+    """
+    full_len = np.asarray(full_len)
+    twin = np.asarray(twin)
+
+    by_ctg: dict = {}
+    with open(prefix + ".readInformation") as fh:
+        for line in fh:
+            p = line.split()
+            if len(p) < 6:
+                continue
+            by_ctg.setdefault(int(p[2]), []).append(
+                (p[0], int(p[1]), int(p[3]), int(p[4]), p[5]))
+
+    placed = set()
+    with open(prefix + ".contigPosInscaff") as fh, \
+            open(prefix + ".readOnScaf", "w") as out:
+        is_first = False
+        for line in fh:
+            if line.startswith(">"):
+                out.write(line)
+                is_first = True
+                continue
+            p = line.split()
+            if not p:
+                continue
+            cid, cstart, orient = int(p[0]), int(p[1]), p[2]
+            placed.add(cid)
+            placed.add(int(twin[cid - 1]) + 1)
+            for rid, rpos, cpos, alen, ro in reversed(
+                    by_ctg.get(cid, [])):
+                if is_first:
+                    spos, salen = cstart + cpos, alen
+                else:
+                    spos = cstart + cpos - k
+                    salen = alen - k + cpos if cpos < k else alen
+                so = "+" if ro == orient else "-"
+                out.write(f"{rid}\t{rpos}\t{spos}\t{so}\t{salen}\n")
+            is_first = False
+
+        # singleton sections: big unplaced contigs, ascending id
+        n_ctg = full_len.shape[0]
+        for cid in range(1, n_ctg + 1):
+            if int(full_len[cid - 1]) < 100 or cid in placed:
+                continue
+            out.write(f">C{cid}\n")
+            placed.add(cid)
+            placed.add(int(twin[cid - 1]) + 1)
+            for rid, rpos, cpos, alen, ro in reversed(
+                    by_ctg.get(cid, [])):
+                out.write(f"{rid}\t{rpos}\t{cpos}\t{ro}\t{alen}\n")

@@ -92,6 +92,16 @@ def round_up(x: int, m: int = 128) -> int:
     return r
 
 
+def fit_cap(x, cap: int, fill):
+    """Slice-or-pad x's leading axis to exactly ``cap`` rows.  A
+    quantized capacity may EXCEED the physical source length (pow2
+    mode rounds up aggressively), so plain ``x[:cap]`` is not safe."""
+    if x.shape[0] < cap:
+        pad_shape = (cap - x.shape[0],) + x.shape[1:]
+        x = jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)])
+    return x[:cap]
+
+
 def pack_stream(keys, prev, nxt, valid, k: int | None = None):
     """Fold the 7-bit per-kmer payload (valid:1, prev:3, next:3) into
     spare low bits of a widened key -> (n, WP) uint32 rows.  Invalid

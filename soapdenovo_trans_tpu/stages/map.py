@@ -133,9 +133,10 @@ def build_contig_index(ctg: contig_merge.Contigs, table, k: int
         jnp.asarray(np.asarray(rep, np.int32)))
     n = int(n_unique)
     cap = dictionary.round_up(max(n, 1))
-    nc = ctg.length.shape[0]
+    fit = dictionary.fit_cap
     return ContigIndex(
-        keys[:cap], c[:cap], p[:cap], rz[:cap], jnp.int32(n),
+        fit(keys, cap, jnp.uint32(0xFFFFFFFF)), fit(c, cap, -1),
+        fit(p, cap, -1), fit(rz, cap, False), jnp.int32(n),
         ctg.length + k, ctg.twin)
 
 

@@ -159,3 +159,27 @@ def test_n_read_breaks_path(rng):
     f, t, v = arcs.thread_reads(padded2, lens2, table, eg, patch, K)
     aset = arcs.count_arcs(f, t, v, eg.twin)
     assert int(aset.n) == 0  # no arc may cross the N barrier
+
+
+def test_merge_arcs_quantized_cap_exceeds_sources(monkeypatch):
+    """pow2 capacity quantization can round the merged arc count past
+    the concatenated source length; the ArcSet builders must pad, not
+    slice (regression: broadcast crash in merge_arcs under
+    CAP_MODE='pow2')."""
+    from soapdenovo_trans_tpu.graph import arcs
+    from soapdenovo_trans_tpu.ops import dictionary
+
+    monkeypatch.setattr(dictionary, "CAP_MODE", "pow2")
+    # a: 256 unique arcs tightly packed; b: 128 more -> n_tot = 384,
+    # n_unique = 384, round_up(384) = 512 > 384
+    fa = jnp.arange(256, dtype=jnp.int32)
+    fb = jnp.arange(256, 384, dtype=jnp.int32)
+    mk = lambda f: arcs.ArcSet(
+        f, f, jnp.ones_like(f), jnp.int32(f.shape[0]))
+    twin = jnp.arange(512, dtype=jnp.int32) ^ 1
+    merged = mk(jnp.concatenate([fa, fb]))  # exercised via merge too
+    out = arcs.merge_arcs(mk(fa), mk(fb), twin)
+    assert int(out.n) == 384
+    assert out.from_ed.shape[0] >= 384
+    got = set(np.asarray(out.from_ed[: int(out.n)]).tolist())
+    assert got == set(range(384))

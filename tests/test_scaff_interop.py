@@ -343,3 +343,100 @@ def test_reference_scaff_F_consumes_our_read_in_gap(pe_workspace):
 
     assert joined(t1[:200], t1[-200:])
     assert joined(t2[:200], t2[-200:])
+
+
+def _ensure_crossA(pe_workspace):
+    cross = os.path.join(pe_workspace["dir"], "crossA")
+    if not os.path.exists(cross + ".scafSeq"):
+        link_files(pe_workspace["ref"], cross, CONTIG_FILES + MAP_FILES)
+        cli.main(["scaff", "-g", cross])
+    return cross
+
+
+def _twin_of_ids(prefix):
+    """1-based contig id -> 1-based twin id, from the contig files."""
+    from soapdenovo_trans_tpu.io import graph_files
+    ctg, _table, _k = graph_files.load_contig_graph_files(prefix)
+    twin = np.asarray(ctg.twin[: int(ctg.n)])
+    return lambda c: int(twin[c - 1]) + 1
+
+
+def test_links_matches_reference(pe_workspace):
+    """.links rows equal the reference's on the same map inputs
+    (outputLinks, orderContig.c:3954-3986).  The reference prints each
+    symmetric pair once, picking the twin reached first in its
+    iteration order — normalize each row to the canonical twin pair."""
+    cross = _ensure_crossA(pe_workspace)
+    twin = _twin_of_ids(pe_workspace["ref"])
+
+    def rows(path):
+        out = set()
+        for line in open(path):
+            c1, c2, gap, wt, ins = line.split()
+            a = (int(c1), int(c2))
+            b = (twin(int(c2)), twin(int(c1)))
+            out.add((min(a, b), int(gap), int(wt), int(ins)))
+        return out
+
+    ref = rows(pe_workspace["ref"] + ".links")
+    our = rows(cross + ".links")
+    assert ref, "reference wrote no links"
+    assert ref == our
+
+
+def test_scaf_statistics_matches_reference(pe_workspace):
+    """.scafStatistics line-identical to the reference's on the same
+    map inputs (ScafStat, orderContig.c:2421): identical scaffold
+    sets must yield identical A/C/G/T counts, N50/N90 ladders and
+    singleton sections."""
+    cross = _ensure_crossA(pe_workspace)
+
+    def lines(path):
+        # the header embeds the run's file path — normalize it
+        return [re.sub(r"'[^']*'", "'*'", " ".join(l.split()))
+                for l in open(path)]
+
+    ref = lines(pe_workspace["ref"] + ".scafStatistics")
+    our = lines(cross + ".scafStatistics")
+    assert ref == our
+
+
+def test_read_on_scaf_matches_reference(pe_workspace):
+    """.readOnScaf equal to the reference's when both scaffs consume
+    the same map -r outputs (getReadOnScaf, ReadTrace.c:41-160):
+    per-scaffold row sets and singleton sections match."""
+    d = pe_workspace["dir"]
+    cfg = pe_workspace["cfg"]
+    # reference map -r (adds .readInformation), then both scaffs -r
+    ref_r = os.path.join(d, "refr")
+    link_files(pe_workspace["ref"], ref_r, CONTIG_FILES)
+    run_reference(pe_workspace["binary"], cfg, ref_r, stages=("map",))
+    subprocess.run(
+        [pe_workspace["binary"], "map", "-s", cfg, "-g", ref_r,
+         "-p", "2", "-r"], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [pe_workspace["binary"], "scaff", "-g", ref_r, "-p", "2",
+         "-r"], capture_output=True, timeout=300, check=True)
+
+    our_r = os.path.join(d, "ourr")
+    link_files(ref_r, our_r, CONTIG_FILES + MAP_FILES
+               + (".readInformation",))
+    cli.main(["scaff", "-g", our_r, "-r"])
+
+    def sections(path):
+        secs, head, cur = {}, None, set()
+        for line in open(path):
+            if line.startswith(">"):
+                if head is not None:
+                    secs[head] = cur
+                head, cur = " ".join(line.split()), set()
+            elif line.strip():
+                cur.add(" ".join(line.split()))
+        if head is not None:
+            secs[head] = cur
+        return secs
+
+    ref = sections(ref_r + ".readOnScaf")
+    our = sections(our_r + ".readOnScaf")
+    assert ref, "reference wrote no readOnScaf"
+    assert ref == our
