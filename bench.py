@@ -31,6 +31,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -62,11 +63,88 @@ def make_fixture():
     return make_batch(), make_batch()
 
 
+def capacity():
+    """Capacity mode (--capacity): stream >=1e8 k-mer rows (~1.3e7
+    distinct) through the LSM forest on the chip — the reference's
+    per-fill planning unit is 1e8 k-mers (prlHashReads.c:42).  Prints
+    one JSON line with sustained Mkmers/s at depth and the final
+    table's device footprint; peak HBM is whatever the deepest merge
+    holds (reported as table_mb at the end plus the largest merge
+    input sizes printed per level).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from soapdenovo_trans_tpu.ops import dictionary
+    from soapdenovo_trans_tpu.stages.pregraph import _MergeForest
+
+    n_batches = 7          # 7 x 200k reads x 78 windows = 109.2M rows
+    n_tx = 9000            # ~13.3M distinct k-mers at 1477 windows/tx
+    rng = np.random.default_rng(0)
+    txs = [rng.integers(0, 4, size=TX_LEN).astype(np.uint8)
+           for _ in range(n_tx)]
+    lengths = jnp.asarray(np.full(2 * BATCH, READ_LEN, np.int32))
+
+    def make_big_batch():
+        out = np.empty((2 * BATCH, READ_LEN), np.uint8)
+        for i in range(2 * BATCH):
+            t = txs[rng.integers(0, n_tx)]
+            s = rng.integers(0, TX_LEN - READ_LEN + 1)
+            r = t[s:s + READ_LEN]
+            if rng.integers(0, 2):
+                r = r[::-1] ^ 2
+            out[i] = r
+        return out
+
+    batches = [make_big_batch() for _ in range(n_batches)]
+    total_rows = n_batches * 2 * BATCH * (READ_LEN - K + 1)
+
+    # warmup/compile: one pass over a single batch + merges come up
+    # as levels fill (compiles are excluded by timing a second pass)
+    def run_pass():
+        forest = _MergeForest()
+        for b in batches:
+            forest.insert(dictionary.build_packed_from_reads(
+                jnp.asarray(b), lengths, K))
+            depth = sum(1 for lv in forest.levels if lv is not None)
+            print(f"  level-fill: {depth} live levels, caps "
+                  f"{[int(lv.rows.shape[0]) for lv in forest.levels if lv is not None]}")
+        acc = forest.finish()
+        table = dictionary.finalize(acc, K)
+        assert int(table.n) > 0
+        return table
+
+    print("[capacity] warmup (compiles)...")
+    t0 = time.time()
+    table = run_pass()
+    warm = time.time() - t0
+    print(f"[capacity] warmup pass {warm:.1f}s")
+    t0 = time.time()
+    table = run_pass()
+    dt = time.time() - t0
+    n_distinct = int(table.n)
+    cap = int(table.keys.shape[0])
+    w = int(table.keys.shape[1])
+    table_mb = cap * (4 * w + 4 + 32) / 1e6
+    print(json.dumps({
+        "metric": "kmer_counting_capacity",
+        "rows": total_rows,
+        "distinct": n_distinct,
+        "value": round(total_rows / dt / 1e6, 2),
+        "unit": "Mkmers/s",
+        "table_mb": round(table_mb, 1),
+        "seconds": round(dt, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from soapdenovo_trans_tpu.ops import dictionary, kmer
+
+    if "--capacity" in sys.argv:
+        return capacity()
 
     b1, b2 = make_fixture()
     lengths = jnp.asarray(np.full(BATCH, READ_LEN, np.int32))

@@ -22,6 +22,13 @@ import time
 import numpy as np
 
 
+# Device read-batch size: 32768 reads/dispatch keeps the chip fed
+# (245 tiny batches at 4096 cost a ~20 ms tunnel round trip each);
+# the test suite pins it small via the env to keep compiles tiny.
+def _batch_reads() -> int:
+    return int(os.environ.get("SOAPDENOVO_TPU_READ_BATCH", "32768"))
+
+
 def _add_common(p):
     p.add_argument("-s", dest="config", help="lib config file")
     p.add_argument("-o", "-g", dest="out", required=True,
@@ -153,7 +160,8 @@ class _CountingFactory:
     first pass (for the .peGrads boundaries, reference
     prlHashReads.c:626-645)."""
 
-    def __init__(self, cfg, batch_size=4096, n_kmer_k=0):
+    def __init__(self, cfg, batch_size=None, n_kmer_k=0):
+        batch_size = batch_size or _batch_reads()
         self.cfg = cfg
         self.batch_size = batch_size
         self.lib_counts = None
@@ -212,7 +220,7 @@ def _count_n_windows(codes, lens, k):
     return int((has_n & in_range).sum())
 
 
-def _read_batches(cfg, batch_size=4096, n_kmer_k=0):
+def _read_batches(cfg, batch_size=None, n_kmer_k=0):
     return _CountingFactory(cfg, batch_size, n_kmer_k=n_kmer_k)
 
 
@@ -412,7 +420,8 @@ def run_map_cmd(args, ctg=None, table=None):
     max_read_len = 0
     from .io import fastx
     for codes, lengths, li in fastx.config_read_batches(
-            cfg, 4096, purpose=2):
+            cfg, 4096, purpose=2):  # map voting: same superlinear
+        #  TPU compile hazard as thread_reads — keep the shape small
         lib = cfg.libs[li]
         if mesh is not None:
             from .parallel import sharded_map
@@ -629,7 +638,8 @@ def run_scaff_cmd(args, ctg=None, table=None, conn=None):
         _cfg = _libcfg.parse_config(args.config)
         gap_read_source = (
             link_extra["read_ctg"], link_extra["read_pos"],
-            lambda: fastx.config_read_batches(_cfg, 4096, purpose=2),
+            lambda: fastx.config_read_batches(
+                _cfg, _batch_reads(), purpose=2),
             link_extra.get("read_ins"))
     from .io import stagefiles
     preset = None

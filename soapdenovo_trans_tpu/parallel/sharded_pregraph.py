@@ -468,8 +468,10 @@ def condense_sharded(mesh, routers: Routers, st, deleted, k: int,
     pool_idx = jnp.where(exists & (edge_of >= 0) & (off_at_arc >= 0),
                          off_at_arc + rank, -1)
     pool_sh = pool_router.scatter1(pool_idx, base, op="max")
-    seq_pool = np.maximum(
-        np.asarray(pool_sh).reshape(-1)[:s_cap], 0).astype(np.uint8)
+    # cast to u8 on device: the pool read-back is the one
+    # assembly-sized host transfer (O(edge bases)); 1 B/base, not 4
+    pool_u8 = jnp.maximum(pool_sh, 0).astype(jnp.uint8)
+    seq_pool = np.asarray(pool_u8).reshape(-1)[:s_cap].copy()
 
     # coverage: interior-node l_cov sums routed per arc
     l_sum = jnp.sum(st.l_cov, axis=-1)              # (d, cap)

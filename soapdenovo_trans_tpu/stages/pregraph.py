@@ -210,17 +210,31 @@ def run_pregraph(batch_iter_factory, k: int,
         else None
     t0 = time.time()
     aset: Optional[arcs_mod.ArcSet] = None
+    # thread_reads compiles superlinearly with the row count on the
+    # TPU backend (a 32768-row shape takes >35 min to compile where
+    # 4096 takes ~1 min); chunk the stream to a fixed 4096-row shape
+    # regardless of the counting batch size
+    chunk = 4096
     for codes, lengths, _lib in batch_iter_factory():
-        f, t, v = arcs_mod.thread_reads(
-            jnp.asarray(codes), jnp.asarray(lengths), table, edges, patch, k)
-        if recorder is not None:
-            r, l = codes.shape
-            p2 = 2 * (l - k + 1)
-            recorder.add_batch(np.asarray(t).reshape(r, p2),
-                               np.asarray(v).reshape(r, p2))
-        batch_arcs = arcs_mod.count_arcs(f, t, v, edges.twin)
-        aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
-            aset, batch_arcs, edges.twin)
+        for off in range(0, codes.shape[0], chunk):
+            cc = codes[off:off + chunk]
+            cl = lengths[off:off + chunk]
+            if cc.shape[0] < chunk:
+                pad = chunk - cc.shape[0]
+                cc = np.concatenate(
+                    [cc, np.full((pad, cc.shape[1]), 4, cc.dtype)])
+                cl = np.concatenate([cl, np.zeros(pad, cl.dtype)])
+            f, t, v = arcs_mod.thread_reads(
+                jnp.asarray(cc), jnp.asarray(cl), table, edges,
+                patch, k)
+            if recorder is not None:
+                r, l = cc.shape
+                p2 = 2 * (l - k + 1)
+                recorder.add_batch(np.asarray(t).reshape(r, p2),
+                                   np.asarray(v).reshape(r, p2))
+            batch_arcs = arcs_mod.count_arcs(f, t, v, edges.twin)
+            aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
+                aset, batch_arcs, edges.twin)
     print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
     return PregraphResult(table, graph, edges, patch, aset, k,
                           n_distinct=int(table.n))

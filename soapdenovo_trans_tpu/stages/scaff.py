@@ -722,20 +722,29 @@ def collect_gap_reads(junctions, read_ctg, read_pos, batch_factory,
     gap_reads: List[List[np.ndarray]] = [[] for _ in junctions]
     if not wanted:
         return gap_reads
+    # per batch, intersect the wanted dense-read ids with the batch's
+    # id range vectorized — only actual gap reads hit Python (the old
+    # per-row loop re-walked EVERY read in the stream)
+    wanted_ids = np.asarray(sorted(wanted), np.int64)
     base = 0
     for codes, lens, _li in batch_factory():
-        b = codes.shape[0]
-        dense = 0  # padded rows (length 0) are unnumbered, like map
-        for local in range(b):
-            if lens[local] <= 0:
-                continue
-            slots = wanted.get(base + dense)
-            if slots:
-                row = np.asarray(codes[local, : lens[local]], np.uint8)
-                for s in slots:
+        lens_np = np.asarray(lens)
+        real = lens_np > 0
+        n_real = int(real.sum())
+        if n_real == 0:
+            continue
+        lo = np.searchsorted(wanted_ids, base)
+        hi = np.searchsorted(wanted_ids, base + n_real)
+        if hi > lo:
+            # dense id -> batch row
+            rows_of = np.nonzero(real)[0]
+            for did in wanted_ids[lo:hi]:
+                local = int(rows_of[did - base])
+                row = np.asarray(codes[local, : lens_np[local]],
+                                 np.uint8)
+                for s in wanted[int(did)]:
                     gap_reads[s].append(row)
-            dense += 1
-        base += dense
+        base += n_real
     return gap_reads
 
 
@@ -949,10 +958,19 @@ class ArcRouter:
         self.ctg_len = ctg_len
         self.adj: Dict[int, List[int]] = defaultdict(list)
         n = int(aset.n)
-        for i in range(n):
-            f, t = int(aset.from_ed[i]), int(aset.to_ed[i])
-            if f >= 0 and t >= 0 and int(aset.mult[i]) > 0:
-                self.adj[f].append(t)
+        # group arcs by source with one argsort instead of a per-arc
+        # Python loop (millions of arcs on real data)
+        f = np.asarray(aset.from_ed[:n])
+        t = np.asarray(aset.to_ed[:n])
+        m = np.asarray(aset.mult[:n])
+        sel = (f >= 0) & (t >= 0) & (m > 0)
+        f, t = f[sel], t[sel]
+        order = np.argsort(f, kind="stable")
+        f, t = f[order], t[order]
+        uniq, starts = np.unique(f, return_index=True)
+        bounds = np.append(starts, f.shape[0])
+        for j, c in enumerate(uniq.tolist()):
+            self.adj[c] = t[bounds[j]:bounds[j + 1]].tolist()
 
     def find_route(self, c1, c2, gap, tol, max_step=5,
                    max_routes=10) -> Optional[List[int]]:

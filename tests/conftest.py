@@ -36,6 +36,9 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # covered explicitly by test_sharded_count / test_sharded_pregraph /
 # test_sharded_graph and the driver's dryrun_multichip).
 os.environ.setdefault("SOAPDENOVO_TPU_NO_SHARD", "1")
+# keep device batches small on the tiny fixtures (the production
+# default of 32768 reads/batch just means bigger compiles here)
+os.environ.setdefault("SOAPDENOVO_TPU_READ_BATCH", "4096")
 
 import numpy as np
 import pytest

@@ -134,6 +134,16 @@ def _y_branch_fixture(rng):
             return p, t1, t2
 
 
+def _canon_str(w):
+    """Canonical form in CODE space (A0 C1 T2 G3 — reference int2base
+    order), NOT ASCII min: stored keys are numeric minima, and ASCII
+    min(w, rc) disagrees whenever G/T ordering decides."""
+    rc = bits.revcomp_str(w)
+    fw = [bits.BASE_CHARS.index(c) for c in w]
+    bw = [bits.BASE_CHARS.index(c) for c in rc]
+    return w if fw <= bw else rc
+
+
 def test_ambiguous_kmers_dropped(rng):
     # Y-branch: the junction vertex kmer ends contig P and starts both
     # branch contigs -> occurs multiple times -> ambiguous -> dropped
@@ -144,10 +154,10 @@ def test_ambiguous_kmers_dropped(rng):
     keys = np.asarray(index.keys[:n])
     idx_kmers = {bits.kmer_to_string(keys[i], K) for i in range(n)}
     junction = p[-K:]
-    assert min(junction, bits.revcomp_str(junction)) not in idx_kmers
+    assert _canon_str(junction) not in idx_kmers
     # a mid-P kmer occurs once and IS in the index
     mid = p[30 : 30 + K]
-    assert min(mid, bits.revcomp_str(mid)) in idx_kmers
+    assert _canon_str(mid) in idx_kmers
 
 
 def test_footprint_gap_spanning(rng):

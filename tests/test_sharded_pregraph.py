@@ -218,3 +218,82 @@ def test_thread_reads_matches_dense(mesh, rng):
 
     assert arc_multiset(sf, st_, sv, s_seqs) == \
         arc_multiset(df, dt_, dv, d_seqs)
+
+
+@pytest.mark.slow
+def test_condense_sharded_1e7_host_memory(mesh):
+    """Mesh residency at scale: condense >=1e7 k-mers on the 8-device
+    mesh and assert host-side (numpy/python) allocations stay
+    O(edges), NOT O(table): the pre-r4 implementation materialized
+    (D, 8*cap) rank/succ/exists arrays on the host (~320MB+ each at
+    this size); the routed version's host peak is the final EdgeGraph
+    gather (seq pool ~ total edge length, here ~10MB).
+
+    tracemalloc sees numpy/python allocations but not XLA device
+    buffers — exactly the boundary the residency contract draws."""
+    import tracemalloc
+
+    k = 31
+    n_bases = 10_000_000
+    rng = np.random.default_rng(3)
+    # ~1e7 distinct k-mers in a handful of long random transcripts
+    # (random 31-mers essentially never collide at this scale)
+    n_tx = 8
+    t_len = n_bases // n_tx
+    codes = rng.integers(0, 4, size=(n_tx, t_len), dtype=np.uint8)
+    lens = np.full(n_tx, t_len, np.int32)
+    stream = kmer.chop_reads(jnp.asarray(codes), jnp.asarray(lens), k)
+    table = dictionary.build(stream, k)
+    n = int(table.n)
+    assert n >= 9_900_000, n
+
+    # vectorized prefix split (keys are sorted; owners are contiguous)
+    keys = np.asarray(table.keys[:n])
+    count = np.asarray(table.count[:n])
+    l_cov = np.asarray(table.l_cov[:n])
+    r_cov = np.asarray(table.r_cov[:n])
+    bounds = sharded_count._owner_boundaries(k, D)
+    splits = np.searchsorted(keys[:, 0], bounds, side="left")
+    starts = np.r_[0, splits, n]
+    per = np.diff(starts)
+    cap = dictionary.round_up(int(per.max()))
+    w = keys.shape[1]
+    sk = np.full((D, cap, w), 0xFFFFFFFF, np.uint32)
+    sc = np.zeros((D, cap), np.int32)
+    sl = np.zeros((D, cap, 4), np.int32)
+    sr = np.zeros((D, cap, 4), np.int32)
+    for s in range(D):
+        a, b = starts[s], starts[s + 1]
+        sk[s, : b - a] = keys[a:b]
+        sc[s, : b - a] = count[a:b]
+        sl[s, : b - a] = l_cov[a:b]
+        sr[s, : b - a] = r_cov[a:b]
+    st = sharded_count.ShardedTable(
+        jnp.asarray(sk), jnp.asarray(sc), jnp.asarray(sl),
+        jnp.asarray(sr), jnp.asarray(per.astype(np.int32)))
+    del keys, count, l_cov, r_cov, sk, sc, sl, sr
+
+    routers = sharded_pregraph.Routers.build(mesh, cap)
+    deleted = jnp.zeros((D, cap), jnp.int32)
+    tracemalloc.start()
+    seg, stab, node_edge, node_pos = sharded_pregraph.condense_sharded(
+        mesh, routers, st, deleted, k)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    # every transcript survives as one edge pair; total edge length
+    # accounts for all interior k-mers
+    n_edges = int(seg.n_edges)
+    assert n_edges == 2 * n_tx, n_edges
+    total_len = int(np.asarray(seg.length[:n_edges]).sum())
+    n_nodes = t_len - k + 1  # per transcript per direction
+    assert 2 * n_tx * (n_nodes - 2) <= total_len <= 2 * n_tx * n_nodes
+    # host peak stays O(assembled bases), far below table-sized: the
+    # legitimate transfers are the u8 seq-pool read-back (~1 B/base)
+    # plus small O(edges) arrays; the pre-r4 host path materialized
+    # several (D, 8cap) int32/int64 arrays (>= 32 B per k-mer slot).
+    table_sized = D * 8 * cap * 4
+    pool_budget = 3 * total_len + (32 << 20)
+    assert peak < pool_budget, (peak, pool_budget)
+    assert pool_budget < table_sized // 2, "fixture too small to " \
+        "distinguish pool-sized from table-sized"
