@@ -93,3 +93,41 @@ def test_merge_packed_kernel_path_matches_sort(rng, monkeypatch):
                                   np.asarray(legacy.rows[:n]))
     np.testing.assert_array_equal(np.asarray(kern.count[:n]),
                                   np.asarray(legacy.count[:n]))
+
+
+def test_merge_finalize_kernel_path_matches_sort(rng, monkeypatch):
+    """merge_finalize via the merge kernel (interpret mode) must equal
+    finalize(merge_packed(a, b)) on real PackedTables — the fused
+    final-merge path previously had coverage only through the CPU
+    concat+sort fallback (ADVICE r3)."""
+    import jax.numpy as jnp2
+
+    from soapdenovo_trans_tpu.ops import dictionary, kmer
+    from soapdenovo_trans_tpu.kernels import merge_path as mp
+
+    K = 23
+    rng2 = np.random.default_rng(9)
+
+    def table_from_reads(n_reads):
+        codes = rng2.integers(0, 4, size=(n_reads, 60)).astype(np.uint8)
+        lens = np.full(n_reads, 60, np.int32)
+        stream = kmer.chop_reads(jnp2.asarray(codes),
+                                 jnp2.asarray(lens), K)
+        return dictionary.build_packed(stream, K)
+
+    a = table_from_reads(300)
+    b = table_from_reads(200)
+
+    ref = dictionary.finalize(dictionary.merge_packed(a, b), K)
+
+    monkeypatch.setattr(dictionary, "_use_merge_kernel",
+                        lambda wp: wp == 2)
+    monkeypatch.setattr(mp, "_FORCE_INTERPRET", True)
+    fused = dictionary.merge_finalize(a, b, K)
+
+    assert int(fused.n) == int(ref.n)
+    n = int(ref.n)
+    for field in ("keys", "count", "l_cov", "r_cov"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, field)[:n]),
+            np.asarray(getattr(ref, field)[:n]), err_msg=field)
