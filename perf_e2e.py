@@ -227,6 +227,22 @@ Measured {time.strftime('%Y-%m-%d')} by `python perf_e2e.py`.
 {table}
 
 Output sanity ({'; '.join(stats)}).
+
+## Rig artifacts inside the "ours" column
+
+The chip is reached through a stdio relay tunnel; measured overheads
+a local chip would not pay: per-process chip-claim handshake
+9 s - 30 min (reported in its own row above), ~40-70 s remote compile
+per NEW tensor shape (persisted to a disk cache; ~1-4 s reload in
+later processes; data-dependent capacities are power-of-two quantized
+so shapes repeat), ~0.1 s warm dispatch.  Device work itself is
+milliseconds: bench.py measures the counting phase at ~54 Mkmers/s
+(3.46x the 8-core ideal-scaling extrapolation of the reference on
+this host, see BASELINE.md/BENCH_r03.json); the reference binary's
+counting on this host's 2 cores is ~3.9 Mkmers/s.  On sizes where
+per-read work dominates fixed per-program cost, the kernel-rate ratio
+(~14x per-core-pair) is what transfers; the first run on a fresh
+machine additionally pays the one-time compiles.
 """
     with open("PERF.md", "w") as fh:
         fh.write(doc)

@@ -79,19 +79,42 @@ def build_dbg(table: dictionary.KmerTable, k: int) -> DBG:
     rev_l = l_cov[:, jnp.asarray([2, 3, 0, 1])]  # b -> comp(b) = b^2
     out_cov = jnp.stack([r_cov, rev_l], axis=1).reshape(2 * cap, 4)
 
-    # successor candidates: extend every oriented kmer by every base
+    # successor candidates: extend every oriented kmer by every base.
+    # Above ~4M nodes the (8cap, W)-query lookup's temporaries exceed
+    # HBM (observed: a 32 GB fusion at a 16.7M-row table on a 16 GB
+    # chip), so big tables resolve in fixed-size chunks under lax.map
+    # — sequential in the chunk axis, identical results.
     base4 = jnp.arange(4, dtype=jnp.uint32)
     w = oriented.shape[-1]
-    ext = bits.next_kmer(
-        jnp.broadcast_to(oriented[:, None, :], (2 * cap, 4, w)),
-        jnp.broadcast_to(base4, (2 * cap, 4)), k
-    )  # (2cap, 4, W)
-    can, use_rc = bits.canonical(ext.reshape(-1, w), k)
-    rows = dictionary.lookup(keys, can)
-    succ = jnp.where(rows >= 0, 2 * rows + use_rc.astype(jnp.int32), -1)
-    succ = succ.reshape(2 * cap, 4)
+    two_cap = 2 * cap
 
-    succ_live = jnp.where(succ >= 0, live[jnp.clip(succ, 0)], False)
+    def _resolve(ori):
+        m = ori.shape[0]
+        ext = bits.next_kmer(
+            jnp.broadcast_to(ori[:, None, :], (m, 4, w)),
+            jnp.broadcast_to(base4, (m, 4)), k)
+        can, use_rc = bits.canonical(ext.reshape(-1, w), k)
+        rows = dictionary.lookup(keys, can)
+        return rows, use_rc
+
+    chunk = 1 << 21
+    if two_cap > chunk * 2:
+        pad = (-two_cap) % chunk
+        ori_p = oriented if not pad else jnp.concatenate(
+            [oriented, jnp.full((pad, w), 0xFFFFFFFF, jnp.uint32)])
+        rows_c, rc_c = jax.lax.map(
+            _resolve, ori_p.reshape(-1, chunk, w))
+        rows = rows_c.reshape(-1)[: two_cap * 4]
+        use_rc = rc_c.reshape(-1)[: two_cap * 4]
+    else:
+        rows, use_rc = _resolve(oriented)
+    succ_f = jnp.where(rows >= 0, 2 * rows + use_rc.astype(jnp.int32),
+                       -1)
+    # gather liveness on the FLAT axis ((N, 4)-output gathers can get
+    # a minor-dim-padded layout: 32x HLO-temp blowup at big tables)
+    succ_live = jnp.where(succ_f >= 0, live[jnp.clip(succ_f, 0)],
+                          False).reshape(two_cap, 4)
+    succ = succ_f.reshape(two_cap, 4)
     exists = (out_cov > 0) & succ_live & live[:, None]
     out_deg = jnp.sum(exists.astype(jnp.int32), axis=1)
     in_deg = out_deg.reshape(cap, 2)[:, ::-1].reshape(2 * cap)  # deg of twin

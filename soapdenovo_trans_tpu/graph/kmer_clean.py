@@ -42,17 +42,23 @@ def _minor_out_device(table: dictionary.KmerTable, k: int, pct):
     graph = dbg_mod.build_dbg(table, k)
     cap = table.capacity
     count = table.count
-    # neighbor counts per existing out-arc, both strands
-    succ_row = jnp.clip(graph.succ, 0) >> 1
-    ncount = jnp.where(graph.exists, count[succ_row], 0)  # (2cap, 4)
-    max_n = jnp.max(ncount, axis=1)                        # (2cap,)
+    # neighbor counts per existing out-arc, both strands.  FLAT (8cap,)
+    # arrays throughout: a gather emitting an (N, 4) result gets a
+    # T(8,128)-tiled layout whose minor dim pads 4 -> 128 (observed
+    # 32x / 16 GB HLO temp at a 16.7M-row table); 1-D stays unpadded.
+    succ_f = graph.succ.reshape(-1)
+    exists_f = graph.exists.reshape(-1)
+    succ_row = jnp.clip(succ_f, 0) >> 1
+    ncount = jnp.where(exists_f, count[succ_row], 0)       # (8cap,)
+    max_n = jnp.maximum(jnp.maximum(ncount[0::4], ncount[1::4]),
+                        jnp.maximum(ncount[2::4], ncount[3::4]))
     branchy = graph.out_deg > 1
     # delete neighbor when count/max < pct/100  <=>  100*count < pct*max
-    weak = graph.exists & branchy[:, None] & (ncount > 0) & \
-        (100 * ncount < pct * max_n[:, None])
+    weak = exists_f & jnp.repeat(branchy, 4) & (ncount > 0) & \
+        (100 * ncount < pct * jnp.repeat(max_n, 4))
     # scatter deletions onto neighbor rows
     del_rows = jnp.where(weak, succ_row, cap)
-    hits = jnp.zeros(cap + 1, jnp.int32).at[del_rows.reshape(-1)].add(
+    hits = jnp.zeros(cap + 1, jnp.int32).at[del_rows].add(
         1, mode="drop")[:cap]
     new_deleted = table.deleted | (hits > 0)
     n_del = jnp.sum((hits > 0) & ~table.deleted)
@@ -86,7 +92,11 @@ def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
 
     # predecessor node of each 1-in node: tail of its unique in-arc
     tw_n = dbg_mod.twin(nodes)
-    tb = jnp.argmax(graph.exists[tw_n], axis=-1).astype(jnp.int32)
+    # twin reindex as a reverse, not a gather (an (N, 4)-output gather
+    # can get a minor-dim-padded layout — 32x HLO-temp blowup at scale)
+    exists_tw = graph.exists.reshape(cap, 2, 4)[:, ::-1].reshape(
+        two_cap, 4)
+    tb = jnp.argmax(exists_tw, axis=-1).astype(jnp.int32)
     in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(tw_n, tb))
     pred = jnp.where(in_deg == 1, in_arc >> 2, -1)
 
@@ -112,9 +122,14 @@ def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
     lb = jnp.argmax(graph.exists, axis=-1).astype(jnp.int32)  # unique out base
     join = jnp.where(is_last, graph.succ[nodes, lb], -1)
     join_cov = jnp.where(is_last, graph.out_cov[nodes, lb], 0)
-    # join's max in-cov = max out_cov of twin(join)
+    # join's max in-cov = max out_cov of twin(join) — flat gathers
+    # (see the layout note above)
     join_tw = dbg_mod.twin(jnp.clip(join, 0))
-    join_max_in = jnp.max(graph.out_cov[join_tw], axis=-1)
+    oc = graph.out_cov.reshape(-1)
+    jt4 = 4 * join_tw
+    join_max_in = jnp.maximum(
+        jnp.maximum(oc[jt4], oc[jt4 + 1]),
+        jnp.maximum(oc[jt4 + 2], oc[jt4 + 3]))
     join_in_deg = _gather_or(in_deg, join, 0)
     join_out_deg = _gather_or(graph.out_deg, join, 0)
     # reference: sum of join's branches == 1 -> the whole component

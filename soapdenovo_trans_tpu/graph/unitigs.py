@@ -78,7 +78,11 @@ def _arc_arrays(graph: dbg_mod.DBG):
     # its twin (valid only when out_deg[twin] == 1, i.e. in_deg == 1)
     nodes = jnp.arange(two_cap, dtype=jnp.int32)
     tw_n = dbg_mod.twin(nodes)
-    tb = jnp.argmax(graph.exists[tw_n], axis=-1).astype(jnp.int32)
+    # twin reindex as a reverse, not a gather ((N, 4)-output gathers
+    # can draw a minor-dim-padded layout — 32x temp blowup at scale)
+    exists_tw = graph.exists.reshape(-1, 2, 4)[:, ::-1].reshape(
+        two_cap, 4)
+    tb = jnp.argmax(exists_tw, axis=-1).astype(jnp.int32)
     node_in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(tw_n, tb))
     arc_prev = jnp.where(exists & graph.linear[u], node_in_arc[u], -1)
     # Defensive: a predecessor pointer must reference an existing arc.
