@@ -38,9 +38,13 @@ from ..ops import bits, dictionary
 class DBG(NamedTuple):
     """Directed-node graph state derived from a KmerTable."""
 
-    out_cov: jnp.ndarray   # (2*cap, 4) int32
-    succ: jnp.ndarray      # (2*cap, 4) int32 directed id or -1
-    exists: jnp.ndarray    # (2*cap, 4) bool — arc present
+    out_cov: jnp.ndarray   # (8*cap,) int32, arc-flat (u*4 + b)
+    succ: jnp.ndarray      # (8*cap,) int32 directed id or -1, arc-flat
+    exists: jnp.ndarray    # (8*cap,) bool, arc-flat
+    # arc-granular state is FLAT: (N, 2/4)-shaped stacks, interleaves,
+    # gathers and pair-reverses crash the TPU compile helper above
+    # ~16M rows.  Arc id a = u*4 + b indexes directly; the twin node's
+    # arc is a ^ 4; per-base columns are x[b::4]
     out_deg: jnp.ndarray   # (2*cap,) int32
     linear: jnp.ndarray    # (2*cap,) bool — 1-in-1-out node
     first_base: jnp.ndarray  # (2*cap,) uint8 first base of oriented kmer
@@ -55,73 +59,94 @@ def row_of(u):
     return u >> 1
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+_CHUNK_ROWS = 1 << 20     # table rows per resolution chunk (x8 queries)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _resolve_keys_chunk(keys_full, kchunk, k: int):
+    """Successor-candidate resolution for one chunk of table rows:
+    orient (fwd + revcomp), extend by every base, canonicalize, one
+    batched lookup into the FULL key array."""
+    rc = bits.reverse_complement(kchunk, k)
+    w = kchunk.shape[-1]
+    ori = jnp.stack([kchunk, rc], axis=1).reshape(-1, w)
+    m = ori.shape[0]
+    base4 = jnp.arange(4, dtype=jnp.uint32)
+    ext = bits.next_kmer(
+        jnp.broadcast_to(ori[:, None, :], (m, 4, w)),
+        jnp.broadcast_to(base4, (m, 4)), k)
+    can, use_rc = bits.canonical(ext.reshape(-1, w), k)
+    rows = dictionary.lookup(keys_full, can)
+    return rows, use_rc
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _dbg_finish(table: dictionary.KmerTable, rows, use_rc, k: int):
+    """All arc-granular state is FLAT (8cap,) with 1-D strided ops:
+    at 16.7M+ rows the TPU compile helper rejects programs staging
+    (N, 2/4)-shaped int32 interleaves/stacks/gathers (bool (N, 4)
+    outputs are fine, so `exists` stays 2-D for consumers)."""
+    cap = table.capacity
+    two_cap = 2 * cap
+    keys = table.keys
+    rc = bits.reverse_complement(keys, k)
+    oriented = bits.interleave2(keys, rc)
+    live_row = (jnp.arange(cap) < table.n) & (~table.deleted)
+    live = jnp.repeat(live_row, 2)
+    # node-major flat coverage: slot 8i+b <- r_cov[i, b] (fwd node),
+    # 8i+4+b <- l_cov[i, comp(b)] (rc node); comp(b) = b^2
+    out_cov = jnp.zeros(8 * cap, jnp.int32)
+    comp = (2, 3, 0, 1)
+    for b in range(4):
+        out_cov = out_cov.at[b::8].set(table.r_cov[:, b])
+        out_cov = out_cov.at[4 + b::8].set(table.l_cov[:, comp[b]])
+
+    succ_f = jnp.where(rows >= 0, 2 * rows + use_rc.astype(jnp.int32),
+                       -1)[: two_cap * 4]
+    succ_live_f = jnp.where(succ_f >= 0, live[jnp.clip(succ_f, 0)],
+                            False)
+    exists_f = (out_cov > 0) & succ_live_f & jnp.repeat(live, 4)
+    succ_f = jnp.where(exists_f, succ_f, jnp.where(
+        succ_f >= 0, succ_f, -1))
+    e32 = exists_f.astype(jnp.int32)
+    out_deg = e32[0::4] + e32[1::4] + e32[2::4] + e32[3::4]
+    # in_deg[u] = out_deg[twin(u)]: 1-D XOR gather — the
+    # reshape(-1,2)[:, ::-1] spelling fails to compile after strided
+    # slice producers at this size
+    in_deg = out_deg[jnp.arange(two_cap, dtype=jnp.int32) ^ 1]
+    linear = (out_deg == 1) & (in_deg == 1) & live
+    fb = bits.first_base(oriented, k)
+    return DBG(out_cov, succ_f, exists_f, out_deg, linear, fb, live)
+
+
 def build_dbg(table: dictionary.KmerTable, k: int) -> DBG:
     """Resolve all successor candidates and mark linear nodes.
 
     Equivalent of the reference's per-node l_links/r_links +
-    Mark1in1outNode pass, with neighbor resolution done as one
-    batched binary-search lookup instead of per-walk hash probes.
+    Mark1in1outNode pass, with neighbor resolution done as batched
+    binary-search lookups.  HOST-orchestrated: candidate resolution
+    runs in fixed-size row chunks (one cached jit, called per chunk)
+    — a single whole-table query program exceeds HBM above ~4M rows.
+    Chunking by table row keeps global node order: row i contributes
+    nodes 2i, 2i+1 consecutively in every chunk.
     """
     cap = table.capacity
-    keys = table.keys
-    rc = bits.reverse_complement(keys, k)
-
-    # oriented[u] : (2cap, W) — interleaved fwd/rc
-    oriented = jnp.stack([keys, rc], axis=1).reshape(2 * cap, -1)
-
-    live_row = (jnp.arange(cap) < table.n) & (~table.deleted)
-    live = jnp.repeat(live_row, 2)
-
-    # out_cov: s=0 -> r_cov[row][b];  s=1 -> l_cov[row][b^2]
-    l_cov = table.l_cov
-    r_cov = table.r_cov
-    rev_l = l_cov[:, jnp.asarray([2, 3, 0, 1])]  # b -> comp(b) = b^2
-    out_cov = jnp.stack([r_cov, rev_l], axis=1).reshape(2 * cap, 4)
-
-    # successor candidates: extend every oriented kmer by every base.
-    # Above ~4M nodes the (8cap, W)-query lookup's temporaries exceed
-    # HBM (observed: a 32 GB fusion at a 16.7M-row table on a 16 GB
-    # chip), so big tables resolve in fixed-size chunks under lax.map
-    # — sequential in the chunk axis, identical results.
-    base4 = jnp.arange(4, dtype=jnp.uint32)
-    w = oriented.shape[-1]
-    two_cap = 2 * cap
-
-    def _resolve(ori):
-        m = ori.shape[0]
-        ext = bits.next_kmer(
-            jnp.broadcast_to(ori[:, None, :], (m, 4, w)),
-            jnp.broadcast_to(base4, (m, 4)), k)
-        can, use_rc = bits.canonical(ext.reshape(-1, w), k)
-        rows = dictionary.lookup(keys, can)
-        return rows, use_rc
-
-    chunk = 1 << 21
-    if two_cap > chunk * 2:
-        pad = (-two_cap) % chunk
-        ori_p = oriented if not pad else jnp.concatenate(
-            [oriented, jnp.full((pad, w), 0xFFFFFFFF, jnp.uint32)])
-        rows_c, rc_c = jax.lax.map(
-            _resolve, ori_p.reshape(-1, chunk, w))
-        rows = rows_c.reshape(-1)[: two_cap * 4]
-        use_rc = rc_c.reshape(-1)[: two_cap * 4]
+    if cap <= 2 * _CHUNK_ROWS:
+        rows, use_rc = _resolve_keys_chunk(table.keys, table.keys, k)
     else:
-        rows, use_rc = _resolve(oriented)
-    succ_f = jnp.where(rows >= 0, 2 * rows + use_rc.astype(jnp.int32),
-                       -1)
-    # gather liveness on the FLAT axis ((N, 4)-output gathers can get
-    # a minor-dim-padded layout: 32x HLO-temp blowup at big tables)
-    succ_live = jnp.where(succ_f >= 0, live[jnp.clip(succ_f, 0)],
-                          False).reshape(two_cap, 4)
-    succ = succ_f.reshape(two_cap, 4)
-    exists = (out_cov > 0) & succ_live & live[:, None]
-    out_deg = jnp.sum(exists.astype(jnp.int32), axis=1)
-    in_deg = out_deg.reshape(cap, 2)[:, ::-1].reshape(2 * cap)  # deg of twin
-    linear = (out_deg == 1) & (in_deg == 1) & live
-
-    fb = bits.first_base(oriented, k)
-    return DBG(out_cov, succ, exists, out_deg, linear, fb, live)
+        w = table.keys.shape[-1]
+        parts = []
+        for off in range(0, cap, _CHUNK_ROWS):
+            kchunk = table.keys[off:off + _CHUNK_ROWS]
+            if kchunk.shape[0] < _CHUNK_ROWS:
+                pad = _CHUNK_ROWS - kchunk.shape[0]
+                kchunk = jnp.concatenate(
+                    [kchunk,
+                     jnp.full((pad, w), 0xFFFFFFFF, jnp.uint32)])
+            parts.append(_resolve_keys_chunk(table.keys, kchunk, k))
+        rows = jnp.concatenate([r for r, _ in parts])
+        use_rc = jnp.concatenate([u for _, u in parts])
+    return _dbg_finish(table, rows, use_rc, k)
 
 
 def arc_id(u, b):
@@ -137,7 +162,6 @@ def twin_arc(dbg: DBG, a):
     loadPreGraph.c:543) expressed as pure index arithmetic.
     """
     u = a >> 2
-    b = a & 3
-    v = dbg.succ[u, b]
+    v = dbg.succ[a]          # succ is arc-flat: index == arc id
     fb = dbg.first_base[u].astype(jnp.int32)
     return jnp.where(v >= 0, arc_id(twin(v), fb ^ 2), -1)

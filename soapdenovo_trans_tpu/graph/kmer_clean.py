@@ -37,25 +37,27 @@ def _gather_or(x, idx, fill):
     return jnp.where((idx >= 0) & (idx < x.shape[0]), x[safe], fill)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _minor_out_device(table: dictionary.KmerTable, k: int, pct):
-    graph = dbg_mod.build_dbg(table, k)
+@jax.jit
+def _minor_out_device(table: dictionary.KmerTable, graph, pct):
     cap = table.capacity
     count = table.count
     # neighbor counts per existing out-arc, both strands.  FLAT (8cap,)
     # arrays throughout: a gather emitting an (N, 4) result gets a
     # T(8,128)-tiled layout whose minor dim pads 4 -> 128 (observed
     # 32x / 16 GB HLO temp at a 16.7M-row table); 1-D stays unpadded.
-    succ_f = graph.succ.reshape(-1)
-    exists_f = graph.exists.reshape(-1)
+    succ_f = graph.succ            # arc-flat
+    exists_f = graph.exists        # arc-flat
     succ_row = jnp.clip(succ_f, 0) >> 1
     ncount = jnp.where(exists_f, count[succ_row], 0)       # (8cap,)
     max_n = jnp.maximum(jnp.maximum(ncount[0::4], ncount[1::4]),
                         jnp.maximum(ncount[2::4], ncount[3::4]))
     branchy = graph.out_deg > 1
+    # per-arc expansion via 1-D >>2 gathers (jnp.repeat(x, 4) stages
+    # an (N, 4) broadcast the TPU compile helper rejects at this size)
+    a4 = jnp.arange(exists_f.shape[0], dtype=jnp.int32) >> 2
     # delete neighbor when count/max < pct/100  <=>  100*count < pct*max
-    weak = exists_f & jnp.repeat(branchy, 4) & (ncount > 0) & \
-        (100 * ncount < pct * jnp.repeat(max_n, 4))
+    weak = exists_f & branchy[a4] & (ncount > 0) & \
+        (100 * ncount < pct * max_n[a4])
     # scatter deletions onto neighbor rows
     del_rows = jnp.where(weak, succ_row, cap)
     hits = jnp.zeros(cap + 1, jnp.int32).at[del_rows].add(
@@ -67,19 +69,20 @@ def _minor_out_device(table: dictionary.KmerTable, k: int, pct):
 
 def minor_out(table: dictionary.KmerTable, k: int,
               pct: int = DEFAULT_MINOR_PCT) -> dictionary.KmerTable:
-    deleted, n = _minor_out_device(table, k, jnp.int32(pct))
+    graph = dbg_mod.build_dbg(table, k)
+    deleted, n = _minor_out_device(table, graph, jnp.int32(pct))
     print(f"[kmer_clean] minor-out: {int(n)} kmers removed")
     return table._replace(deleted=deleted)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
-    graph = dbg_mod.build_dbg(table, k)
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
+                     thin: bool):
     cap = table.capacity
     two_cap = 2 * cap
     nodes = jnp.arange(two_cap, dtype=jnp.int32)
     row = nodes >> 1
-    in_deg = graph.out_deg.reshape(cap, 2)[:, ::-1].reshape(two_cap)
+    in_deg = graph.out_deg[nodes ^ 1]   # in_deg(u) = out_deg(twin)
     single = table.count[row] == 1
 
     elig = graph.linear & graph.live
@@ -92,11 +95,13 @@ def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
 
     # predecessor node of each 1-in node: tail of its unique in-arc
     tw_n = dbg_mod.twin(nodes)
-    # twin reindex as a reverse, not a gather (an (N, 4)-output gather
-    # can get a minor-dim-padded layout — 32x HLO-temp blowup at scale)
-    exists_tw = graph.exists.reshape(cap, 2, 4)[:, ::-1].reshape(
-        two_cap, 4)
-    tb = jnp.argmax(exists_tw, axis=-1).astype(jnp.int32)
+    # unique out-arc base of the TWIN node, via per-base flat columns
+    # (column b of node u is exists[4u + b] = exists[b::4][u])
+    ex = graph.exists
+    e0, e1, e2, e3 = ex[0::4], ex[1::4], ex[2::4], ex[3::4]
+    xr = nodes ^ 1
+    tb = jnp.where(e0[xr], 0, jnp.where(e1[xr], 1, jnp.where(
+        e2[xr], 2, 3))).astype(jnp.int32)
     in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(tw_n, tb))
     pred = jnp.where(in_deg == 1, in_arc >> 2, -1)
 
@@ -119,13 +124,14 @@ def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
 
     # last chain node and its join arc
     is_last = on_tip & (rank == len_at_head - 1)
-    lb = jnp.argmax(graph.exists, axis=-1).astype(jnp.int32)  # unique out base
-    join = jnp.where(is_last, graph.succ[nodes, lb], -1)
-    join_cov = jnp.where(is_last, graph.out_cov[nodes, lb], 0)
+    lb = jnp.where(e0, 0, jnp.where(e1, 1, jnp.where(
+        e2, 2, 3))).astype(jnp.int32)   # unique out base
+    join = jnp.where(is_last, graph.succ[4 * nodes + lb], -1)
+    join_cov = jnp.where(is_last, graph.out_cov[4 * nodes + lb], 0)
     # join's max in-cov = max out_cov of twin(join) — flat gathers
     # (see the layout note above)
     join_tw = dbg_mod.twin(jnp.clip(join, 0))
-    oc = graph.out_cov.reshape(-1)
+    oc = graph.out_cov             # arc-flat
     jt4 = 4 * join_tw
     join_max_in = jnp.maximum(
         jnp.maximum(oc[jt4], oc[jt4 + 1]),
@@ -164,7 +170,8 @@ def _tip_pass_device(table: dictionary.KmerTable, k: int, thin: bool):
 
 
 def single_tips(table: dictionary.KmerTable, k: int) -> dictionary.KmerTable:
-    deleted, n = _tip_pass_device(table, k, True)
+    graph = dbg_mod.build_dbg(table, k)
+    deleted, n = _tip_pass_device(table, graph, k, True)
     print(f"[kmer_clean] single-cov tips: {int(n)} kmers removed")
     return table._replace(deleted=deleted)
 
@@ -173,7 +180,8 @@ def minor_tips(table: dictionary.KmerTable, k: int,
                max_rounds: int = 32) -> dictionary.KmerTable:
     total = 0
     for _ in range(max_rounds):
-        deleted, n = _tip_pass_device(table, k, False)
+        graph = dbg_mod.build_dbg(table, k)
+        deleted, n = _tip_pass_device(table, graph, k, False)
         n = int(n)
         table = table._replace(deleted=deleted)
         total += n

@@ -69,20 +69,21 @@ _rank_arcs = jax.jit(ranking.list_rank)
 @jax.jit
 def _arc_arrays(graph: dbg_mod.DBG):
     """Flatten the (2cap, 4) arc grid and compute backward pointers."""
-    two_cap = graph.succ.shape[0]
-    exists = graph.exists.reshape(-1)
-    succ = graph.succ.reshape(-1)
+    two_cap = graph.out_deg.shape[0]
+    exists = graph.exists          # arc-flat
+    succ = graph.succ              # arc-flat
     u = jnp.arange(two_cap * 4, dtype=jnp.int32) >> 2
 
     # unique in-arc of each linear node: twin of the unique out-arc of
     # its twin (valid only when out_deg[twin] == 1, i.e. in_deg == 1)
     nodes = jnp.arange(two_cap, dtype=jnp.int32)
     tw_n = dbg_mod.twin(nodes)
-    # twin reindex as a reverse, not a gather ((N, 4)-output gathers
-    # can draw a minor-dim-padded layout — 32x temp blowup at scale)
-    exists_tw = graph.exists.reshape(-1, 2, 4)[:, ::-1].reshape(
-        two_cap, 4)
-    tb = jnp.argmax(exists_tw, axis=-1).astype(jnp.int32)
+    # unique out-arc base of the TWIN node via flat per-base columns
+    e0, e1, e2, e3 = exists[0::4], exists[1::4], exists[2::4], \
+        exists[3::4]
+    xr = nodes ^ 1
+    tb = jnp.where(e0[xr], 0, jnp.where(e1[xr], 1, jnp.where(
+        e2[xr], 2, 3))).astype(jnp.int32)
     node_in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(tw_n, tb))
     arc_prev = jnp.where(exists & graph.linear[u], node_in_arc[u], -1)
     # Defensive: a predecessor pointer must reference an existing arc.
@@ -100,7 +101,7 @@ def _extract_edges(graph: dbg_mod.DBG, table: dictionary.KmerTable,
                    k: int, e_cap: int, s_cap: int):
     exists, succ, head, rank, is_head, n_edges, _ = _arc_arrays(graph)
     a_total = exists.shape[0]
-    two_cap = graph.succ.shape[0]
+    two_cap = graph.out_deg.shape[0]
     arc_ids = jnp.arange(a_total, dtype=jnp.int32)
     tail = arc_ids >> 2
     base = (arc_ids & 3).astype(jnp.uint8)

@@ -294,3 +294,13 @@ def revcomp_str(s: str) -> str:
     """Host-side reverse complement over ACGT/N strings (for tests)."""
     comp = {"A": "T", "T": "A", "C": "G", "G": "C", "N": "N"}
     return "".join(comp[c] for c in reversed(s.upper()))
+
+
+def interleave2(a, b):
+    """Row-interleave two equal-shape arrays: out[0::2] = a,
+    out[1::2] = b.  The natural jnp.stack(axis=1).reshape spelling
+    crashes the TPU compile helper above ~16M rows (its (N, 2, X)
+    intermediate); strided scatter-set compiles everywhere."""
+    out_shape = (2 * a.shape[0],) + a.shape[1:]
+    out = jnp.zeros(out_shape, a.dtype)
+    return out.at[0::2].set(a).at[1::2].set(b)
