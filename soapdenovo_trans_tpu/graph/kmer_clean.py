@@ -75,34 +75,29 @@ def minor_out(table: dictionary.KmerTable, k: int,
     return table._replace(deleted=deleted)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
-                     thin: bool):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _tip_prev(table: dictionary.KmerTable, graph, thin: bool):
+    """Tip pass step 1: eligibility + backward chain pointers."""
     cap = table.capacity
     two_cap = 2 * cap
     nodes = jnp.arange(two_cap, dtype=jnp.int32)
-    row = nodes >> 1
     in_deg = graph.out_deg[nodes ^ 1]   # in_deg(u) = out_deg(twin)
-    single = table.count[row] == 1
+    single = table.count[nodes >> 1] == 1
 
     elig = graph.linear & graph.live
     if thin:
         elig &= single
-    # dead-end chain heads: in 0, out 1 (and single, when thin)
     head_cand = graph.live & (in_deg == 0) & (graph.out_deg == 1)
     if thin:
         head_cand &= single
 
-    # predecessor node of each 1-in node: tail of its unique in-arc
-    tw_n = dbg_mod.twin(nodes)
     # unique out-arc base of the TWIN node, via per-base flat columns
-    # (column b of node u is exists[4u + b] = exists[b::4][u])
     ex = graph.exists
-    e0, e1, e2, e3 = ex[0::4], ex[1::4], ex[2::4], ex[3::4]
+    e0, e1, e2 = ex[0::4], ex[1::4], ex[2::4]
     xr = nodes ^ 1
     tb = jnp.where(e0[xr], 0, jnp.where(e1[xr], 1, jnp.where(
         e2[xr], 2, 3))).astype(jnp.int32)
-    in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(tw_n, tb))
+    in_arc = dbg_mod.twin_arc(graph, dbg_mod.arc_id(xr, tb))
     pred = jnp.where(in_deg == 1, in_arc >> 2, -1)
 
     member = elig | head_cand
@@ -111,27 +106,44 @@ def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
         (_gather_or(graph.out_deg, pred, 0) == 1),
         pred, -1)
     prev = jnp.where(member, prev, -1)
-    head, rank, is_head = ranking.list_rank(prev, member)
+    return prev, member, head_cand, in_deg
 
+
+_rank_tips = jax.jit(ranking.list_rank)
+
+
+@jax.jit
+def _tip_chains(head, rank, member, head_cand):
+    """Tip pass step 3: chain membership + per-chain length."""
+    two_cap = head.shape[0]
     chain_of_head_ok = _gather_or(head_cand, head, False)
     on_tip = member & chain_of_head_ok
-    # chain length (in nodes) per head
     chain_len = jax.ops.segment_max(
         jnp.where(on_tip, rank + 1, 0),
         jnp.where(on_tip, head, two_cap),
         num_segments=two_cap + 1)[:two_cap]
+    return on_tip, chain_len
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _tip_clip(table, graph, head, rank, on_tip, chain_len, in_deg,
+              k: int, thin: bool):
+    """Tip pass step 4: join inspection + chain deletion scatters."""
+    cap = table.capacity
+    two_cap = 2 * cap
+    nodes = jnp.arange(two_cap, dtype=jnp.int32)
+    ex = graph.exists
+    e0, e1, e2 = ex[0::4], ex[1::4], ex[2::4]
     len_at_head = _gather_or(chain_len, head, 0)
 
-    # last chain node and its join arc
     is_last = on_tip & (rank == len_at_head - 1)
     lb = jnp.where(e0, 0, jnp.where(e1, 1, jnp.where(
         e2, 2, 3))).astype(jnp.int32)   # unique out base
     join = jnp.where(is_last, graph.succ[4 * nodes + lb], -1)
     join_cov = jnp.where(is_last, graph.out_cov[4 * nodes + lb], 0)
     # join's max in-cov = max out_cov of twin(join) — flat gathers
-    # (see the layout note above)
     join_tw = dbg_mod.twin(jnp.clip(join, 0))
-    oc = graph.out_cov             # arc-flat
+    oc = graph.out_cov
     jt4 = 4 * join_tw
     join_max_in = jnp.maximum(
         jnp.maximum(oc[jt4], oc[jt4 + 1]),
@@ -159,7 +171,8 @@ def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
         join_dangling & _gather_or(ok_head, head, False), join, -1)
 
     hits = jnp.zeros(cap + 1, bool)
-    hits = hits.at[jnp.where(doomed, row, cap)].set(True, mode="drop")
+    hits = hits.at[jnp.where(doomed, nodes >> 1, cap)].set(
+        True, mode="drop")
     hits = hits.at[jnp.where(join_doomed_at >= 0,
                              join_doomed_at >> 1, cap)].set(
         True, mode="drop")
@@ -167,6 +180,18 @@ def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
     new_deleted = table.deleted | hits
     n_del = jnp.sum(hits & ~table.deleted)
     return new_deleted, n_del
+
+
+def _tip_pass_device(table: dictionary.KmerTable, graph, k: int,
+                     thin: bool):
+    """One tip-clipping pass, HOST-orchestrated across four jits: the
+    fused single-program form kernel-faults the TPU worker at 16.7M-row
+    tables (each piece runs fine; the split costs 3 extra dispatches)."""
+    prev, member, head_cand, in_deg = _tip_prev(table, graph, thin)
+    head, rank, _is_head = _rank_tips(prev, member)
+    on_tip, chain_len = _tip_chains(head, rank, member, head_cand)
+    return _tip_clip(table, graph, head, rank, on_tip, chain_len,
+                     in_deg, k, thin)
 
 
 def single_tips(table: dictionary.KmerTable, k: int) -> dictionary.KmerTable:
