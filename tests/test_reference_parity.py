@@ -261,6 +261,80 @@ def ref_binary_63():
     return binary
 
 
+@pytest.fixture(scope="session")
+def ref_binary_127():
+    """The MER127 compile variant (src/Makefile:17-19): K up to 127 as
+    4x u64 in the reference (inc/def.h:45-52)."""
+    binary = os.path.join("/tmp", "SOAPdenovo-Trans-127mer")
+    if not os.path.exists(binary):
+        if not os.path.isdir(REF_SRC):
+            pytest.skip("reference source unavailable")
+        bd = "/tmp/ref_oracle_build127"
+        shutil.copytree(REF_SRC, bd, dirs_exist_ok=True)
+        r = subprocess.run(["make", "127mer=1"], cwd=bd,
+                           capture_output=True, timeout=600)
+        if not os.path.exists(binary):
+            pytest.skip(
+                f"reference 127mer build failed: {r.stderr[-500:]}")
+    return binary
+
+
+def _wide_k_parity(ref_bin, tmp_path, k, read_len, t_len, seed):
+    """Shared oracle harness for the wide-K variants: same reads
+    through the reference MER63/MER127 binary and through our single
+    parameterized (..., W)-lane path; contig sequence-set equality."""
+    from tests.test_e2e import unique_kmer_seq
+
+    rng2 = np.random.default_rng(seed)
+    transcripts = [unique_kmer_seq(rng2, t_len, min(k, 31))
+                   for _ in range(3)]
+    reads = []
+    for t in transcripts:
+        for i in range(0, len(t) - read_len + 1, 3):
+            r = t[i : i + read_len]
+            reads.append(bits.revcomp_str(r) if rng2.random() < 0.5
+                         else r)
+    rng2.shuffle(reads)
+    fa = os.path.join(str(tmp_path), "reads.fa")
+    fastx.write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = os.path.join(str(tmp_path), "lib.config")
+    with open(cfg, "w") as fh:
+        fh.write(f"max_rd_len={read_len}\n[LIB]\nasm_flags=3\nf={fa}\n")
+
+    ref_out = os.path.join(str(tmp_path), "refasm")
+    subprocess.run(
+        [ref_bin, "pregraph", "-s", cfg, "-K", str(k), "-p", "2",
+         "-o", ref_out], capture_output=True, timeout=300, check=True)
+    subprocess.run(
+        [ref_bin, "contig", "-g", ref_out], capture_output=True,
+        timeout=300, check=True)
+    ref_contigs = {canon(s) for s in read_fasta_seqs(ref_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs
+
+    our_out = os.path.join(str(tmp_path), "ourasm")
+    cli.main(["all", "-s", cfg, "-o", our_out, "-K", str(k)])
+    our_contigs = {canon(s) for s in read_fasta_seqs(our_out + ".contig")
+                   if len(s) >= 100}
+    assert ref_contigs == our_contigs, (
+        sorted(len(s) for s in ref_contigs),
+        sorted(len(s) for s in our_contigs))
+
+
+def test_contig_parity_at_k63(ref_binary_127, tmp_path):
+    """K=63 needs the reference's MER127 build (its MER63 caps at 63
+    but uses 2x u64 with K=63 edge cases; the 127mer covers it as
+    4x u64, inc/def.h:45-52).  Ours: the same W=4-lane uint32 path."""
+    _wide_k_parity(ref_binary_127, tmp_path, k=63, read_len=90,
+                   t_len=420, seed=63)
+
+
+def test_contig_parity_at_k75(ref_binary_127, tmp_path):
+    """K=75 — squarely in MER127 territory (5-lane uint32 here)."""
+    _wide_k_parity(ref_binary_127, tmp_path, k=75, read_len=100,
+                   t_len=450, seed=75)
+
+
 def test_contig_parity_at_k41_multiword(ref_binary_63, tmp_path):
     """K=41 — beyond one u64: the reference needs its MER63 build
     (every kmer op #ifdef-triplicated, src/kmer.c throughout); here
