@@ -75,15 +75,14 @@ def capacity():
     import jax
     import jax.numpy as jnp
 
-    from soapdenovo_trans_tpu.ops import dictionary
-    from soapdenovo_trans_tpu.stages.pregraph import _MergeForest
+    from soapdenovo_trans_tpu.stages import pregraph
 
     n_batches = 7          # 7 x 200k reads x 78 windows = 109.2M rows
     n_tx = 9000            # ~13.3M distinct k-mers at 1477 windows/tx
     rng = np.random.default_rng(0)
     txs = [rng.integers(0, 4, size=TX_LEN).astype(np.uint8)
            for _ in range(n_tx)]
-    lengths = jnp.asarray(np.full(2 * BATCH, READ_LEN, np.int32))
+    lengths = np.full(2 * BATCH, READ_LEN, np.int32)
 
     def make_big_batch():
         out = np.empty((2 * BATCH, READ_LEN), np.uint8)
@@ -102,15 +101,10 @@ def capacity():
     # warmup/compile: one pass over a single batch + merges come up
     # as levels fill (compiles are excluded by timing a second pass)
     def run_pass():
-        forest = _MergeForest()
-        for b in batches:
-            forest.insert(dictionary.build_packed_from_reads(
-                jnp.asarray(b), lengths, K))
-            depth = sum(1 for lv in forest.levels if lv is not None)
-            print(f"  level-fill: {depth} live levels, caps "
-                  f"{[int(lv.rows.shape[0]) for lv in forest.levels if lv is not None]}")
-        acc = forest.finish()
-        table = dictionary.finalize(acc, K)
+        # the PRODUCTION counting path (stages.pregraph.count_reads):
+        # sorted-run accumulation, kernel merges, no host syncs
+        table = pregraph.count_reads(
+            ((b, lengths, 0) for b in batches), K)
         assert int(table.n) > 0
         return table
 

@@ -220,6 +220,40 @@ def count_arcs(from_ed, to_ed, valid, twin) -> ArcSet:
         jnp.int32(n))
 
 
+class ArcForest:
+    """Binary-counter accumulation of per-batch ArcSets.
+
+    A linear ``merge_arcs(acc, batch)`` re-sorts the whole accumulator
+    every read batch — quadratic in stream length (the same failure
+    mode the counting LSM fixes for k-mer rows).  Equal-rank sets
+    merge pairwise so each arc is re-sorted O(log n_batches) times."""
+
+    def __init__(self, twin):
+        self.twin = twin
+        self.levels: list = []
+
+    def insert(self, aset: ArcSet) -> None:
+        i = 0
+        while True:
+            if i == len(self.levels):
+                self.levels.append(aset)
+                return
+            if self.levels[i] is None:
+                self.levels[i] = aset
+                return
+            aset = merge_arcs(self.levels[i], aset, self.twin)
+            self.levels[i] = None
+            i += 1
+
+    def finish(self) -> "ArcSet | None":
+        out = None
+        for t in self.levels:
+            if t is None:
+                continue
+            out = t if out is None else merge_arcs(out, t, self.twin)
+        return out
+
+
 def merge_arcs(a: ArcSet, b: ArcSet, twin) -> ArcSet:
     """Combine arc sets from two read batches (already symmetrized:
     merge must NOT re-symmetrize, just re-sort and add)."""

@@ -438,6 +438,192 @@ def _fit_table(uniq_keys, count, l_cov, r_cov, n: int,
                      jnp.zeros(cap, bool))
 
 
+# ---------------------------------------------------------------------------
+# Sorted-run accumulation: the at-depth streaming path.
+#
+# The PackedTable pipeline (build_packed_from_reads + merge_packed)
+# pays a dedup-compaction sort AND an int(n) host sync per batch and
+# per merge; at 1e8-row depth those syncs serialize the dispatch
+# pipeline and the compaction sorts dominate (measured: 23.7 Mkmers/s
+# vs 54 at small shape, tools/prof_capacity.py).  The run path keeps
+# everything async:
+#
+# * a build unit = ONE fused chop + pack + wp-key sort (no compaction,
+#   no host sync) -> a SortedRun whose live-row count stays on device;
+# * runs combine via the O(n) merge-path Pallas kernel in a binary
+#   counter on CAPACITIES (static shapes, still no syncs; duplicate
+#   rows simply carry their counts forward);
+# * one dedup + fit + finalize at the very end (single host sync);
+# * a generational collapse bounds HBM: when accumulated run capacity
+#   exceeds `collapse_rows`, the counter folds and dedups to a
+#   compacted base run (mouse-scale raw rows never coexist).
+#
+# Reference equivalent: prlRead2HashTable's 1e8-kmer fill loop
+# (src/prlHashReads.c:42,338-707) — same streaming contract, but
+# batches become sorted runs instead of hash-table inserts.
+# ---------------------------------------------------------------------------
+
+
+class SortedRun(NamedTuple):
+    """Sorted (possibly duplicate-bearing) packed rows with counts.
+
+    Unlike PackedTable, equal rows MAY repeat (each carrying a count);
+    ``n`` is a DEVICE scalar — reading it is deliberately deferred so
+    the build/merge pipeline never blocks on the host."""
+
+    rows: jnp.ndarray   # (cap, WP) uint32 ascending; sentinel-padded
+    count: jnp.ndarray  # (cap,) int32 multiplicity per row
+    n: jnp.ndarray      # () int32 live rows (device scalar)
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sorted_run_from_reads_device(seqs, lengths, k):
+    from . import kmer as kmer_mod
+
+    stream = kmer_mod.chop_reads(seqs, lengths, k)
+    packed = pack_stream(
+        stream.kmers, stream.prev, stream.next, stream.valid, k)
+    wp = packed.shape[-1]
+    res = jax.lax.sort(
+        tuple(packed[:, i] for i in range(wp)), num_keys=wp)
+    rows = jnp.stack(res, axis=-1)
+    valid = ~jnp.all(rows == jnp.uint32(0xFFFFFFFF), axis=-1)
+    cnt = valid.astype(jnp.int32)
+    return rows, cnt, jnp.sum(cnt)
+
+
+def sorted_run_from_reads(seqs, lengths, k: int) -> SortedRun:
+    """One build unit: reads -> sorted run.  Fully async (no sync)."""
+    rows, cnt, n = _sorted_run_from_reads_device(seqs, lengths, k)
+    return SortedRun(rows, cnt, n)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _sorted_run_from_packed_device(data, n_flat, lengths, l, k):
+    from . import readpack
+
+    seqs = readpack.unpack_reads(data, n_flat, l)
+    return _sorted_run_from_reads_device.__wrapped__(
+        seqs, lengths.astype(jnp.int32), k)
+
+
+def prep_host_reads(codes, lengths):
+    """Host side of a build unit: 2-bit pack (4x less tunnel H2D — the
+    dominant counting cost on this rig, ops/readpack.py) + device_put.
+    Returns an opaque tuple for sorted_run_from_prepped.  Safe to call
+    from a prefetch thread (pure numpy + device_put)."""
+    from . import readpack
+
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    if lengths.max(initial=0) < 2**15:
+        lengths = lengths.astype(np.int16)
+    pr = readpack.pack_reads(codes)
+    if pr is None:
+        return ("raw", jax.device_put(codes), jax.device_put(lengths))
+    return ("packed", jax.device_put(pr.data),
+            jax.device_put(pr.n_flat), jax.device_put(lengths), pr.l)
+
+
+def sorted_run_from_prepped(prepped, k: int) -> SortedRun:
+    """Device build from prep_host_reads output.  Fully async."""
+    if prepped[0] == "raw":
+        _, codes, lengths = prepped
+        rows, cnt, n = _sorted_run_from_reads_device(
+            codes, lengths.astype(jnp.int32), k)
+    else:
+        _, data, n_flat, lengths, l = prepped
+        rows, cnt, n = _sorted_run_from_packed_device(
+            data, n_flat, lengths, l, k)
+    return SortedRun(rows, cnt, n)
+
+
+def sorted_run_from_host_reads(codes, lengths, k: int) -> SortedRun:
+    return sorted_run_from_prepped(prep_host_reads(codes, lengths), k)
+
+
+@jax.jit
+def _concat_sort_runs(ar, ac, br, bc):
+    rows = jnp.concatenate([ar, br])
+    count = jnp.concatenate([ac, bc])
+    wp = rows.shape[-1]
+    res = jax.lax.sort(
+        tuple(rows[:, i] for i in range(wp)) + (count,), num_keys=wp)
+    return jnp.stack(res[:wp], axis=-1), res[wp]
+
+
+def merge_runs(a: SortedRun, b: SortedRun) -> SortedRun:
+    """Combine two sorted runs WITHOUT dedup compaction: the merge-path
+    kernel where available (O(n), no sort), else concat + slim sort.
+    Still fully async."""
+    wp = a.rows.shape[-1]
+    if _use_merge_kernel(wp):
+        from ..kernels import merge_path
+
+        rows, count = merge_path.merge_sorted_rows(
+            a.rows, a.count, b.rows, b.count, a.n, b.n)
+    else:
+        rows, count = _concat_sort_runs(a.rows, a.count, b.rows, b.count)
+    return SortedRun(rows, count, a.n + b.n)
+
+
+def collapse_run(run: SortedRun) -> SortedRun:
+    """Dedup-compact a run (equal rows summed, uniques to the front)
+    and slice to a fitted capacity.  The ONE host sync of the run
+    pipeline — called at generational collapse and before finalize."""
+    rows_c, count_c, num_unique = _dedup_sorted_device(run.rows, run.count)
+    n = int(num_unique)
+    pt = _fit_packed(rows_c, count_c, n, round_up(max(n, 1)))
+    return SortedRun(pt.rows, pt.count, pt.n)
+
+
+class RunAccumulator:
+    """Binary counter over SortedRuns, merged on capacity rank; folds
+    + dedups into a compacted base whenever accumulated capacity would
+    exceed ``collapse_rows`` (HBM bound at mouse-scale row counts)."""
+
+    def __init__(self, collapse_rows: int = 192_000_000):
+        self.runs: list = []
+        self.collapse_rows = collapse_rows
+
+    def insert(self, r: SortedRun) -> None:
+        self.runs.append(r)
+        while (len(self.runs) >= 2 and
+               self.runs[-2].capacity <= 2 * self.runs[-1].capacity):
+            b = self.runs.pop()
+            a = self.runs.pop()
+            self.runs.append(merge_runs(a, b))
+        if sum(x.capacity for x in self.runs) >= self.collapse_rows:
+            self.runs = [collapse_run(self._fold())]
+
+    def _fold(self) -> SortedRun:
+        acc = self.runs[0]
+        for x in self.runs[1:]:
+            acc = merge_runs(acc, x)
+        return acc
+
+    def finish(self) -> SortedRun | None:
+        if not self.runs:
+            return None
+        return self._fold()
+
+
+def finalize_run(run: SortedRun, k: int,
+                 cap: int | None = None) -> KmerTable:
+    """Accumulated run -> KmerTable: dedup + fit (one sync) keeps the
+    finalize pass — whose (cap, 8) coverage cumsum is the widest
+    intermediate — at compacted size, then split contexts."""
+    c = collapse_run(run)
+    uniq_keys, count, l_cov, r_cov, num_unique = _finalize_device(
+        c.rows, c.count, k)
+    return _fit_table(uniq_keys, count, l_cov, r_cov, int(num_unique),
+                      cap)
+
+
 def build(stream, k: int, cap: int | None = None) -> KmerTable:
     """Single-shot build: KmerStream -> KmerTable (small inputs/tests;
     the streaming path is build_packed + merge_packed + finalize)."""

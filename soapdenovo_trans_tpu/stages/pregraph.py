@@ -73,9 +73,65 @@ class _MergeForest:
         return out
 
 
+# Build-unit sizing for the run-based counting path: IO batches are
+# aggregated host-side to ~this many k-mer rows per device build (the
+# reference's per-fill planning unit is 1e8 k-mers, prlHashReads.c:42;
+# ours is smaller because each unit is ONE sort, not a hash fill), and
+# full units share one compiled shape.  The collapse bound caps HBM.
+import os as _os
+
+TARGET_BUILD_ROWS = int(_os.environ.get(
+    "SOAPDENOVO_TPU_BUILD_ROWS", 32_000_000))
+COLLAPSE_ROWS = int(_os.environ.get(
+    "SOAPDENOVO_TPU_COLLAPSE_ROWS", 192_000_000))
+
+
+def _iter_build_units(batches, k: int, target_rows: int):
+    """Aggregate (codes, lengths, lib) IO batches into large build
+    units per read-width class.  Full units are exactly the same
+    (reads, width) shape (one compile); only the tail unit differs."""
+    pend = {}  # width -> [codes list, lengths list, n_reads]
+    for codes, lengths, _lib in batches:
+        codes = np.asarray(codes)
+        lengths = np.asarray(lengths)
+        l = codes.shape[1]
+        win = max(l - k + 1, 1)
+        unit_reads = -(-target_rows // win)     # ceil
+        unit_reads = -(-unit_reads // 4096) * 4096
+        ent = pend.setdefault(l, [[], [], 0])
+        ent[0].append(codes)
+        ent[1].append(lengths)
+        ent[2] += codes.shape[0]
+        while ent[2] >= unit_reads:
+            all_c = np.concatenate(ent[0]) if len(ent[0]) > 1 else ent[0][0]
+            all_l = np.concatenate(ent[1]) if len(ent[1]) > 1 else ent[1][0]
+            yield all_c[:unit_reads], all_l[:unit_reads]
+            ent[0] = [all_c[unit_reads:]]
+            ent[1] = [all_l[unit_reads:]]
+            ent[2] -= unit_reads
+    for l, ent in pend.items():
+        if ent[2] <= 0:
+            continue
+        all_c = np.concatenate(ent[0]) if len(ent[0]) > 1 else ent[0][0]
+        all_l = np.concatenate(ent[1]) if len(ent[1]) > 1 else ent[1][0]
+        pad = -all_c.shape[0] % 4096
+        if pad:
+            all_c = np.concatenate(
+                [all_c, np.full((pad, l), 4, np.uint8)])
+            all_l = np.concatenate(
+                [all_l, np.zeros(pad, all_l.dtype)])
+        yield all_c, all_l
+
+
 def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
-    """Pass 1: k-mer counting with per-batch build + hierarchical merge
-    (reference prlRead2HashTable's batch loop, prlHashReads.c:338).
+    """Pass 1: k-mer counting via sorted-run accumulation (reference
+    prlRead2HashTable's batch loop, prlHashReads.c:338).
+
+    Each build unit is one fused chop+pack+sort; runs merge through
+    the O(n) merge-path kernel with NO host syncs and NO intermediate
+    dedup compaction (counts ride along; finalize absorbs duplicate
+    rows).  One dedup + finalize at the end.  See
+    dictionary.RunAccumulator for the HBM-bounding collapse.
 
     With a mesh, batches are data-parallel over devices and the k-mer
     space is prefix-sharded with all_to_all routing; the result is
@@ -86,23 +142,27 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
 
         return sharded_count.gather_to_table(
             _count_reads_sharded(batches, k, mesh))
-    forest = _MergeForest()
-    n_reads = 0
-    for codes, lengths, _lib in batches:
-        forest.insert(dictionary.build_packed_from_reads(
-            jnp.asarray(codes), jnp.asarray(lengths), k))
-        n_reads += int((np.asarray(lengths) > 0).sum())
-    levels = [t for t in forest.levels if t is not None]
-    if not levels:
+    import concurrent.futures as _cf
+
+    acc = dictionary.RunAccumulator(collapse_rows=COLLAPSE_ROWS)
+    # prefetch thread: pack + H2D of unit i+1 overlaps unit i's device
+    # work (pack and the tunnel transfer are the wall-clock long poles
+    # at depth; dispatches themselves are async and cheap)
+    with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        for unit in _iter_build_units(batches, k, TARGET_BUILD_ROWS):
+            nxt = ex.submit(dictionary.prep_host_reads, *unit)
+            if fut is not None:
+                acc.insert(dictionary.sorted_run_from_prepped(
+                    fut.result(), k))
+            fut = nxt
+        if fut is not None:
+            acc.insert(dictionary.sorted_run_from_prepped(
+                fut.result(), k))
+    run = acc.finish()
+    if run is None:
         raise ValueError("no reads")
-    if len(levels) == 1:
-        return dictionary.finalize(levels[0], k)
-    # fold all but the last merge normally; fuse the FINAL merge with
-    # finalize (skips one dedup compaction sort + host round-trip)
-    acc = levels[0]
-    for t in levels[1:-1]:
-        acc = dictionary.merge_packed(acc, t)
-    return dictionary.merge_finalize(acc, levels[-1], k)
+    return dictionary.finalize_run(run, k)
 
 
 def _count_reads_sharded(batches, k: int, mesh):
@@ -209,7 +269,7 @@ def run_pregraph(batch_iter_factory, k: int,
     recorder = path_recorder_factory(edges) if path_recorder_factory \
         else None
     t0 = time.time()
-    aset: Optional[arcs_mod.ArcSet] = None
+    forest = arcs_mod.ArcForest(edges.twin)
     # thread_reads compiles superlinearly with the row count on the
     # TPU backend (a 32768-row shape takes >35 min to compile where
     # 4096 takes ~1 min); chunk the stream to a fixed 4096-row shape
@@ -232,9 +292,8 @@ def run_pregraph(batch_iter_factory, k: int,
                 p2 = 2 * (l - k + 1)
                 recorder.add_batch(np.asarray(t).reshape(r, p2),
                                    np.asarray(v).reshape(r, p2))
-            batch_arcs = arcs_mod.count_arcs(f, t, v, edges.twin)
-            aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
-                aset, batch_arcs, edges.twin)
+            forest.insert(arcs_mod.count_arcs(f, t, v, edges.twin))
+    aset = forest.finish()
     print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
     return PregraphResult(table, graph, edges, patch, aset, k,
                           n_distinct=int(table.n))
@@ -284,7 +343,7 @@ def _run_pregraph_sharded(batch_iter_factory, k: int,
         else None
     t0 = time.time()
     d = st.keys.shape[0]
-    aset: Optional[arcs_mod.ArcSet] = None
+    forest = arcs_mod.ArcForest(edges.twin)
     for codes, lengths, _lib in batch_iter_factory():
         r, l = codes.shape
         if r % d:
@@ -300,10 +359,9 @@ def _run_pregraph_sharded(batch_iter_factory, k: int,
             rp2 = 2 * (l - k + 1)
             recorder.add_batch(np.asarray(t).reshape(-1, rp2),
                                np.asarray(v).reshape(-1, rp2))
-        batch_arcs = arcs_mod.count_arcs(
-            jnp.asarray(f), jnp.asarray(t), jnp.asarray(v), edges.twin)
-        aset = batch_arcs if aset is None else arcs_mod.merge_arcs(
-            aset, batch_arcs, edges.twin)
+        forest.insert(arcs_mod.count_arcs(
+            jnp.asarray(f), jnp.asarray(t), jnp.asarray(v), edges.twin))
+    aset = forest.finish()
     print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
     return PregraphResult(mini_table, None, edges, patch, aset, k,
                           freq_hist=hist, n_distinct=n_distinct)

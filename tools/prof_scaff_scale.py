@@ -1,0 +1,104 @@
+"""Scaff-stage scale fixture: 1e5 contigs / 1e4 loci through the
+structure phase (build_structure = the transcriptome() analog,
+reference src/transcriptome.c:2223-2345) and the junction planning of
+run_scaff.  Profiles wall-clock and checks for superquadratic blowups
+(VERDICT r4 'what's missing' #4/#5).
+
+Pure host work — runs on CPU while the chip is busy.
+"""
+
+import cProfile
+import io
+import pstats
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax.numpy as jnp
+
+from soapdenovo_trans_tpu.graph.connections import ConnSet
+from soapdenovo_trans_tpu.stages import scaff
+
+
+def make_fixture(n_loci=10000, chain=10, seed=0):
+    """Loci: 70% linear chains, 20% fork (2 paths shared prefix),
+    10% bubble.  Contig rows come in twin pairs (2i, 2i+1)."""
+    rng = np.random.default_rng(seed)
+    f, t, gap, wt = [], [], [], []
+    n_pairs = 0
+
+    def new_ctg():
+        nonlocal n_pairs
+        c = 2 * n_pairs
+        n_pairs += 1
+        return c
+
+    def connect(a, b, g=20, w=8):
+        # a -> b plus the twin connection twin(b) -> twin(a)
+        f.append(a); t.append(b); gap.append(g); wt.append(w)
+        f.append(b ^ 1); t.append(a ^ 1); gap.append(g); wt.append(w)
+
+    for li in range(n_loci):
+        kind = rng.random()
+        chain_n = int(rng.integers(chain - 4, chain + 5))
+        nodes = [new_ctg() for _ in range(chain_n)]
+        for a, b in zip(nodes[:-1], nodes[1:]):
+            connect(a, b, int(rng.integers(5, 60)),
+                    int(rng.integers(4, 30)))
+        if kind > 0.7:  # fork: second tail from the middle
+            mid = nodes[chain_n // 2]
+            extra = [new_ctg() for _ in range(3)]
+            connect(mid, extra[0])
+            for a, b in zip(extra[:-1], extra[1:]):
+                connect(a, b)
+        if kind > 0.9:  # bubble: alternative middle that rejoins
+            alt = new_ctg()
+            connect(nodes[1], alt)
+            connect(alt, nodes[3])
+
+    n_rows = 2 * n_pairs
+    twin = np.arange(n_rows, dtype=np.int64) ^ 1
+    full_len = rng.integers(150, 2000, size=n_rows).astype(np.int64)
+    full_len[1::2] = full_len[0::2]
+    cvg = rng.integers(10, 400, size=n_rows).astype(np.int64)
+    conn = ConnSet(
+        jnp.asarray(np.asarray(f, np.int32)),
+        jnp.asarray(np.asarray(t, np.int32)),
+        jnp.asarray(np.asarray(gap, np.int32)),
+        jnp.asarray(np.asarray(wt, np.int32)),
+        jnp.asarray(np.zeros(len(f), np.int32)),
+        jnp.int32(len(f)))
+    return conn, twin, full_len, cvg, n_rows
+
+
+def main():
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    t0 = time.time()
+    conn, twin, full_len, cvg, n_rows = make_fixture(n_loci)
+    print(f"fixture: {n_rows} contig rows, {int(conn.n)} conn rows, "
+          f"{n_loci} loci ({time.time() - t0:.1f}s)")
+
+    unique = full_len >= 100
+    params = scaff.ScaffParams()
+
+    pr = cProfile.Profile()
+    t0 = time.time()
+    pr.enable()
+    transcripts = scaff.build_structure(
+        conn, twin, full_len, unique, cvg, params, k=23)
+    pr.disable()
+    dt = time.time() - t0
+    print(f"build_structure: {dt:.1f}s -> {len(transcripts)} transcripts "
+          f"({dt * 1000 / n_loci:.2f} ms/locus)")
+    s = io.StringIO()
+    pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(18)
+    print("\n".join(s.getvalue().splitlines()[4:40]))
+
+
+if __name__ == "__main__":
+    main()
