@@ -134,44 +134,76 @@ def thread_reads(seqs: jnp.ndarray, lengths: jnp.ndarray,
     pair_ok = vertexish[:, :-1] & vertexish[:, 1:] & (pedge >= 0)
     pair_eid = jnp.where(pair_ok, pedge, -1)
 
-    # path slots: even slot 2j = position entry, odd slot 2j+1 = pair entry
-    slots_e = jnp.full((r, 2 * p), -1, jnp.int32)
     # interior entry only where a new traversal starts (dedup runs)
     prev_same = jnp.concatenate(
         [jnp.zeros((r, 1), bool),
          interior[:, :-1] & (eid[:, :-1] == eid[:, 1:])], axis=1)
     is_entry_pos = interior & ~prev_same
-    slots_e = slots_e.at[:, 0::2].set(jnp.where(is_entry_pos, eid, -1))
-    slots_e = slots_e.at[:, 1::2].set(
-        jnp.concatenate([pair_eid, jnp.full((r, 1), -1, jnp.int32)], axis=1))
+    return _path_slots(jnp.where(is_entry_pos, eid, -1), pair_eid,
+                       barrier)
 
-    slots_bar = jnp.zeros((r, 2 * p), bool).at[:, 0::2].set(barrier)
 
-    # previous entry slot for every slot, via cumulative max of slot idx
-    slot_idx = jnp.arange(2 * p, dtype=jnp.int32)
-    entry_here = slots_e >= 0
-    marked = jnp.where(entry_here, slot_idx, -1)
-    prev_entry_slot_inclusive = jax.lax.associative_scan(
-        jnp.maximum, marked, axis=1)
-    prev_entry_slot = jnp.concatenate(
-        [jnp.full((r, 1), -1, jnp.int32),
-         prev_entry_slot_inclusive[:, :-1]], axis=1)
+_LVS_SENT = jnp.int32(-(2**31) + 1)
 
-    bar_prefix = jnp.cumsum(slots_bar.astype(jnp.int32), axis=1)
 
-    prev_ok = entry_here & (prev_entry_slot >= 0)
-    ps = jnp.clip(prev_entry_slot, 0)
-    prev_val = jnp.take_along_axis(slots_e, ps, axis=1)
-    # no barrier in (prev_slot, this_slot]
-    bar_at_prev = jnp.take_along_axis(bar_prefix, ps, axis=1)
+def _last_value_scan(flag, value):
+    """Inclusive 'last value where flag' scan (1-D): replaces a
+    prev-slot gather with an associative carry — gathers compile (and
+    run) poorly on this backend, scans are cheap."""
+    marked = jnp.where(flag, value, _LVS_SENT)
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == _LVS_SENT, a, b), marked)
+
+
+@jax.jit
+def _path_slots(pos_e, pair_e, barrier):
+    """Path-slot adjacency, flat over all r*2p slots.
+
+    Even slot 2j = position entry, odd slot 2j+1 = (K+1)-mer pair
+    entry.  The whole pass is elementwise + three 1-D scans — NO
+    strided scatters, per-row scans, or take_along_axis gathers: those
+    are what made the earlier (r, 2p) formulation compile superlinearly
+    in r on the TPU backend (>35 min at 32768 rows, VERDICT r4 #3).
+    Cross-read carries are masked off with a same-read guard instead of
+    restarting the scans per row."""
+    r, p = pos_e.shape
+    two_p = 2 * p
+    pair_full = jnp.concatenate(
+        [pair_e, jnp.full((r, 1), -1, jnp.int32)], axis=1)
+    # interleave via stack+reshape (transpose), not .at[:, 0::2].set
+    slots_e = jnp.stack([pos_e, pair_full], axis=-1).reshape(r, two_p)
+    slots_bar = jnp.stack(
+        [barrier, jnp.zeros((r, p), bool)], axis=-1).reshape(r, two_p)
+
+    flat_e = slots_e.reshape(-1)
+    flat_bar = slots_bar.reshape(-1)
+    n = r * two_p
+    s = jnp.arange(n, dtype=jnp.int32)
+    entry = flat_e >= 0
+
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    prev_slot = shift1(
+        jax.lax.associative_scan(jnp.maximum, jnp.where(entry, s, -1)),
+        jnp.int32(-1))
+    prev_val = shift1(_last_value_scan(entry, flat_e), _LVS_SENT)
+    bar_prefix = jnp.cumsum(flat_bar.astype(jnp.int32))
+    bar_at_prev = shift1(_last_value_scan(entry, bar_prefix), _LVS_SENT)
+
+    read_start = jnp.repeat(
+        jnp.arange(r, dtype=jnp.int32) * two_p, two_p,
+        total_repeat_length=n)
+    prev_ok = entry & (prev_slot >= read_start)
+    # no barrier in (prev_slot, this_slot]; prefix differences within
+    # one read are row-local even though the cumsum is global
     clean = (bar_prefix - bar_at_prev) == 0
     # An arc joins every adjacent entry pair — including A->A from a
     # read that leaves and re-enters the same edge (the reference does
     # the same: prlRead2path.c:200-236 adds arcs for all adjacent
     # nonzero mix entries; only runs of interior kmers collapse).
     arc_valid = prev_ok & clean
-    return (prev_val.reshape(-1), slots_e.reshape(-1),
-            arc_valid.reshape(-1))
+    return prev_val, flat_e, arc_valid
 
 
 def _gather_or(x, idx, fill):
@@ -205,6 +237,21 @@ def _count_device(from_ed, to_ed, valid, twin):
     ut = jnp.full(n_tot, -1, jnp.int32).at[
         jnp.where(first, seg, n_tot)].set(st, mode="drop")
     return uf, ut, mult, n_arcs
+
+
+def count_arcs_many(cands, twin) -> ArcSet:
+    """count_arcs over SEVERAL thread_reads outputs at once.
+
+    The read-threading loop dispatches one fixed-shape thread_reads
+    per chunk; folding each chunk's candidates through count_arcs
+    costs one host sync (int(n)) per chunk, which serializes the
+    dispatch pipeline through the tunnel.  Concatenating G chunks and
+    counting once cuts the sync count Gx (the concat sort is one
+    bigger sort — sorts are the fast primitive here, ROOFLINE.md)."""
+    f = jnp.concatenate([c[0] for c in cands])
+    t = jnp.concatenate([c[1] for c in cands])
+    v = jnp.concatenate([c[2] for c in cands])
+    return count_arcs(f, t, v, twin)
 
 
 def count_arcs(from_ed, to_ed, valid, twin) -> ArcSet:

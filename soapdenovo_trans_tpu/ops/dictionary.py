@@ -511,11 +511,11 @@ def _sorted_run_from_packed_device(data, n_flat, lengths, l, k):
         seqs, lengths.astype(jnp.int32), k)
 
 
-def prep_host_reads(codes, lengths):
-    """Host side of a build unit: 2-bit pack (4x less tunnel H2D — the
-    dominant counting cost on this rig, ops/readpack.py) + device_put.
-    Returns an opaque tuple for sorted_run_from_prepped.  Safe to call
-    from a prefetch thread (pure numpy + device_put)."""
+def pack_host_reads(codes, lengths):
+    """Pure-numpy half of a build unit: 2-bit pack (4x less tunnel H2D
+    — a dominant counting cost on this rig, ops/readpack.py).  Split
+    from the device_put so a pipeline can run pack(i+2) || H2D(i+1) ||
+    device-build(i) on separate threads."""
     from . import readpack
 
     codes = np.asarray(codes)
@@ -524,9 +524,24 @@ def prep_host_reads(codes, lengths):
         lengths = lengths.astype(np.int16)
     pr = readpack.pack_reads(codes)
     if pr is None:
+        return ("raw", codes, lengths)
+    return ("packed", pr.data, pr.n_flat, lengths, pr.l)
+
+
+def put_prepped(packed):
+    """device_put half of a build unit (see pack_host_reads)."""
+    if packed[0] == "raw":
+        _, codes, lengths = packed
         return ("raw", jax.device_put(codes), jax.device_put(lengths))
-    return ("packed", jax.device_put(pr.data),
-            jax.device_put(pr.n_flat), jax.device_put(lengths), pr.l)
+    _, data, n_flat, lengths, l = packed
+    return ("packed", jax.device_put(data), jax.device_put(n_flat),
+            jax.device_put(lengths), l)
+
+
+def prep_host_reads(codes, lengths):
+    """pack + device_put of a build unit in one call (non-pipelined
+    callers); returns the opaque tuple for sorted_run_from_prepped."""
+    return put_prepped(pack_host_reads(codes, lengths))
 
 
 def sorted_run_from_prepped(prepped, k: int) -> SortedRun:

@@ -670,31 +670,14 @@ def _thread_local(eid_flat, valid, lengths, p_kmers, p_rc, p_valid,
     pair_ok = vertexish[:, :-1] & vertexish[:, 1:] & (pedge >= 0)
     pair_eid = jnp.where(pair_ok, pedge, -1)
 
-    slots_e = jnp.full((r, 2 * p), -1, jnp.int32)
     prev_same = jnp.concatenate(
         [jnp.zeros((r, 1), bool),
          interior[:, :-1] & (eid[:, :-1] == eid[:, 1:])], axis=1)
     is_entry_pos = interior & ~prev_same
-    slots_e = slots_e.at[:, 0::2].set(jnp.where(is_entry_pos, eid, -1))
-    slots_e = slots_e.at[:, 1::2].set(
-        jnp.concatenate([pair_eid, jnp.full((r, 1), -1, jnp.int32)],
-                        axis=1))
-    slots_bar = jnp.zeros((r, 2 * p), bool).at[:, 0::2].set(barrier)
-    slot_idx = jnp.arange(2 * p, dtype=jnp.int32)
-    entry_here = slots_e >= 0
-    marked = jnp.where(entry_here, slot_idx, -1)
-    prev_incl = jax.lax.associative_scan(jnp.maximum, marked, axis=1)
-    prev_entry_slot = jnp.concatenate(
-        [jnp.full((r, 1), -1, jnp.int32), prev_incl[:, :-1]], axis=1)
-    bar_prefix = jnp.cumsum(slots_bar.astype(jnp.int32), axis=1)
-    prev_ok = entry_here & (prev_entry_slot >= 0)
-    ps = jnp.clip(prev_entry_slot, 0)
-    prev_val = jnp.take_along_axis(slots_e, ps, axis=1)
-    bar_at_prev = jnp.take_along_axis(bar_prefix, ps, axis=1)
-    clean = (bar_prefix - bar_at_prev) == 0
-    arc_valid = prev_ok & clean
-    return (prev_val.reshape(-1), slots_e.reshape(-1),
-            arc_valid.reshape(-1))
+    from ..graph import arcs as arcs_mod
+
+    return arcs_mod._path_slots(
+        jnp.where(is_entry_pos, eid, -1), pair_eid, barrier)
 
 
 def thread_reads_sharded(mesh, routers: Routers, st, deleted,

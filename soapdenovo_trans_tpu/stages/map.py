@@ -162,90 +162,86 @@ def vote(ctg_of, kpos, stored_rc, win_rc, lengths, ctg_len_all,
          twin_all, k: int, map_len: int) -> ReadPlacements:
     """parse1read's per-read voting given resolved k-mer hits — pure
     local math, shared by the dense path and the sharded map stage
-    (which resolves hits with a routed lookup first)."""
-    r, p = ctg_of.shape
-    win_idx = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (r, p))
+    (which resolves hits with a routed lookup first).
 
-    # group hits by (read, contig): sort contig ids within each read row
-    key = jnp.where(ctg_of >= 0, ctg_of, jnp.int32(2**30))
-    skey, skpos, s_rc, s_widx = jax.lax.sort(
-        (key, kpos, stored_rc.astype(jnp.int32), win_idx),
-        num_keys=1, dimension=1)
-    valid_s = skey < 2**30
-    firstg = jnp.concatenate(
-        [jnp.ones((r, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
-    firstg &= valid_s
-    # votes per group: next group start - my start (within the row)
-    col = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (r, p))
-    gstart = jnp.where(firstg, col, p)
-    (gpos_sorted,) = jax.lax.sort((gstart,), num_keys=1, dimension=1)
-    nvalid = jnp.sum(valid_s.astype(jnp.int32), axis=1, keepdims=True)
-    gnext = jnp.concatenate(
-        [gpos_sorted[:, 1:], jnp.full((r, 1), p, jnp.int32)], axis=1)
-    gend = jnp.minimum(gnext, nvalid)
-    votes = jnp.maximum(gend - gpos_sorted, 0)  # per group slot
+    Formulated FLAT over all r*p (read, window) slots: one global
+    (rid, contig, window) 3-key sort groups each read's hits by
+    contig with the first-in-read hit at each group head, and 1-D
+    scans read off per-group stats.  The earlier per-row
+    (dimension=1) sorts + take_along_axis gathers compiled
+    superlinearly in r on the TPU backend, pinning the read pass to
+    4096-row dispatches (VERDICT r4 #3)."""
+    r, p = ctg_of.shape
+    n = r * p
+    BIG = jnp.int32(2**30)
+    rid = jnp.broadcast_to(
+        jnp.arange(r, dtype=jnp.int32)[:, None], (r, p)).reshape(-1)
+    widx = jnp.broadcast_to(
+        jnp.arange(p, dtype=jnp.int32), (r, p)).reshape(-1)
+    ctgm = jnp.where(ctg_of >= 0, ctg_of, BIG).reshape(-1)
+
+    srid, sctg, swidx, skpos, ssrc, swrc = jax.lax.sort(
+        (rid, ctgm, widx, kpos.reshape(-1),
+         stored_rc.reshape(-1).astype(jnp.int32),
+         win_rc.reshape(-1).astype(jnp.int32)), num_keys=3)
+    valid = sctg < BIG
+    head = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (srid[1:] != srid[:-1]) | (sctg[1:] != sctg[:-1])])
+    # votes per group = run length = next head index - head index
+    idx = jnp.arange(n, dtype=jnp.int32)
+    next_head = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(head, idx, n))))
+    next_head = jnp.concatenate([next_head[1:], jnp.full(1, n, jnp.int32)])
+    votes = jnp.where(head, next_head - idx, 0)
 
     # threshold (reference: multi = max(5, min(len, map_len) - K + 1))
     eff = jnp.minimum(lengths, map_len)
-    multi = jnp.maximum(5, eff - k + 1)[:, None]
+    multi = jnp.maximum(5, eff - k + 1)[jnp.clip(srid, 0)]
+    qual = head & valid & (votes >= multi)
 
-    glive = gpos_sorted < p
-    gi = jnp.clip(gpos_sorted, 0, p - 1)
-    g_ctg_raw = jnp.take_along_axis(skey, gi, axis=1)
-    qual = glive & (votes >= multi)
-    # the group's FIRST kmer in read order = min window idx in group:
-    # within a group (equal contig) sort put them in kpos order, not
-    # window order — recover min window idx via a segmented min scan.
-    seg_id = jnp.cumsum(firstg.astype(jnp.int32), axis=1)
-    BIG = jnp.int32(2**30)
-    widx_masked = jnp.where(valid_s, s_widx, BIG)
-    # segmented min: sort (seg_id, widx) then take first of each seg
-    k2, v2 = jax.lax.sort((seg_id, widx_masked), num_keys=2, dimension=1)
-    first2 = jnp.concatenate(
-        [jnp.ones((r, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1)
-    # compact (group -> min widx) pairs to the front IN GROUP ORDER:
-    # sort by group id (unique at first2 positions), carry the min.
-    _, g_minw = jax.lax.sort(
-        (jnp.where(first2, k2, BIG), jnp.where(first2, v2, BIG)),
-        num_keys=1, dimension=1)
-    # slot j now holds group j's first-in-read window index
-
-    # also need kpos/stored_rc of that min-window hit: gather original
-    gm = jnp.clip(g_minw, 0, p - 1)
-    g_kpos = jnp.take_along_axis(kpos, gm, axis=1)
-    g_src = jnp.take_along_axis(stored_rc, gm, axis=1)
-    g_wrc = jnp.take_along_axis(win_rc, gm, axis=1)
-
-    # orientation resolution (parse1read:311-327)
-    ctg_len_g = ctg_len_all[jnp.clip(g_ctg_raw, 0, None)]
-    i1 = g_minw + 1  # 1-based kmer offset in read
-    same = g_src == g_wrc  # stored orientation matches window orientation
-    o_ctg = jnp.where(same, g_ctg_raw,
-                      twin_all[jnp.clip(g_ctg_raw, 0, None)])
-    o_pos = jnp.where(same, g_kpos - i1 + 1,
-                      ctg_len_g - g_kpos - k - i1 + 1)
-    o_off = jnp.where(same, g_kpos, ctg_len_g - g_kpos - k)
+    # orientation resolution at each group head (parse1read:311-327);
+    # swidx at a head is the group's first-in-read window (windows are
+    # the 3rd sort key)
+    g_ctg_raw = sctg
+    cg = jnp.clip(g_ctg_raw, 0, ctg_len_all.shape[0] - 1)
+    ctg_len_g = ctg_len_all[cg]
+    i1 = swidx + 1  # 1-based kmer offset in read
+    same = ssrc == swrc
+    o_ctg = jnp.where(same, g_ctg_raw, twin_all[cg])
+    o_pos = jnp.where(same, skpos - i1 + 1,
+                      ctg_len_g - skpos - k - i1 + 1)
+    o_off = jnp.where(same, skpos, ctg_len_g - skpos - k)
 
     # best group per read: max votes among qualifying; ties go to the
     # group first encountered in the read (reference parse1read keeps
-    # the earliest `flag > maxOcc` winner, prlRead2Ctg.c:285-290)
+    # the earliest `flag > maxOcc` winner, prlRead2Ctg.c:285-290).
+    # Second 2-key sort puts each read's best-scoring head first.
     p2 = 1 << int(p).bit_length()
-    score = jnp.where(qual, votes * (2 * p2) + (p2 - 1 - g_minw), -1)
-    best = jnp.argmax(score, axis=1)
-    has = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0] > 0
-    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
-    ctg_best = jnp.where(has, take(o_ctg), -1)
-    pos_best = jnp.where(has, take(o_pos), 0)
-    rev_best = jnp.where(has, ~take(same), False)
+    score = jnp.where(qual, votes * (2 * p2) + (p2 - 1 - swidx), -1)
+    brid, _, b_ctg, b_pos, b_same, b_has = jax.lax.sort(
+        (srid, -score, o_ctg, o_pos, same.astype(jnp.int32),
+         (score > 0).astype(jnp.int32)), num_keys=2)
+    bhead = jnp.concatenate([jnp.ones(1, bool), brid[1:] != brid[:-1]])
+    tgt = jnp.where(bhead, brid, r)
+    has_r = jnp.zeros(r, bool).at[tgt].set(
+        b_has.astype(bool), mode="drop")
+    ctg_best_r = jnp.full(r, -1, jnp.int32).at[tgt].set(
+        b_ctg, mode="drop")
+    pos_best_r = jnp.zeros(r, jnp.int32).at[tgt].set(b_pos, mode="drop")
+    rev_r = jnp.zeros(r, bool).at[tgt].set(
+        ~b_same.astype(bool), mode="drop")
+    ctg_best = jnp.where(has_r, ctg_best_r, -1)
+    pos_best = jnp.where(has_r, pos_best_r, 0)
+    rev_best = jnp.where(has_r, rev_r, False)
+
     # footprint: >= 2 contigs hit by >= 2 kmers each (counter2,
     # prlRead2Ctg.c:277-300) — gap-spanning candidates
-    n_ge2 = jnp.sum((glive & (votes >= 2)).astype(jnp.int32), axis=1)
+    ge2 = (head & valid & (votes >= 2)).astype(jnp.int32)
+    n_ge2 = jax.ops.segment_sum(ge2, srid, num_segments=r)
     footprint = n_ge2 >= 2
 
-    rid = jnp.broadcast_to(
-        jnp.arange(r, dtype=jnp.int32)[:, None], (r, p))
     return ReadPlacements(
         ctg_best, pos_best, rev_best, footprint,
-        rid.reshape(-1), o_ctg.reshape(-1), o_off.reshape(-1),
-        i1.reshape(-1), votes.reshape(-1), qual.reshape(-1),
-        g_ctg_raw.reshape(-1), g_kpos.reshape(-1), same.reshape(-1))
+        srid, o_ctg, o_off, i1, votes, qual,
+        g_ctg_raw, skpos, same)

@@ -116,8 +116,11 @@ def _iter_build_units(batches, k: int, target_rows: int):
         all_l = np.concatenate(ent[1]) if len(ent[1]) > 1 else ent[1][0]
         pad = -all_c.shape[0] % 4096
         if pad:
+            # pad rows carry length 0, so their codes are never read:
+            # pad with 0 (not the N code 4) to keep the tail unit on
+            # the 2-bit packed H2D path (readpack's N sideband)
             all_c = np.concatenate(
-                [all_c, np.full((pad, l), 4, np.uint8)])
+                [all_c, np.zeros((pad, l), np.uint8)])
             all_l = np.concatenate(
                 [all_l, np.zeros(pad, all_l.dtype)])
         yield all_c, all_l
@@ -145,20 +148,30 @@ def count_reads(batches, k: int, mesh=None) -> dictionary.KmerTable:
     import concurrent.futures as _cf
 
     acc = dictionary.RunAccumulator(collapse_rows=COLLAPSE_ROWS)
-    # prefetch thread: pack + H2D of unit i+1 overlaps unit i's device
-    # work (pack and the tunnel transfer are the wall-clock long poles
-    # at depth; dispatches themselves are async and cheap)
-    with _cf.ThreadPoolExecutor(max_workers=1) as ex:
-        fut = None
+    # Two-stage prefetch pipeline.  Serialized phase attribution at
+    # 109M rows (tools/prof_capacity2.py): host pack 1.5s, tunnel H2D
+    # 2.3s, ALL device work 2.4s — the host side exceeds the device
+    # side, so pack and H2D must overlap each other as well as the
+    # device work.  Thread A packs unit i+2 (pure numpy) while thread
+    # B device_puts unit i+1 and the main thread dispatches unit i.
+    with _cf.ThreadPoolExecutor(max_workers=1) as pack_ex, \
+            _cf.ThreadPoolExecutor(max_workers=1) as put_ex:
+        put_q = []  # futures of prep_host_reads results (on device)
+        pack_fut = None
         for unit in _iter_build_units(batches, k, TARGET_BUILD_ROWS):
-            nxt = ex.submit(dictionary.prep_host_reads, *unit)
-            if fut is not None:
+            if pack_fut is not None:
+                packed = pack_fut
+                put_q.append(put_ex.submit(
+                    lambda p: dictionary.put_prepped(p.result()), packed))
+            pack_fut = pack_ex.submit(dictionary.pack_host_reads, *unit)
+            while len(put_q) > 2:
                 acc.insert(dictionary.sorted_run_from_prepped(
-                    fut.result(), k))
-            fut = nxt
-        if fut is not None:
-            acc.insert(dictionary.sorted_run_from_prepped(
-                fut.result(), k))
+                    put_q.pop(0).result(), k))
+        if pack_fut is not None:
+            put_q.append(put_ex.submit(
+                lambda p: dictionary.put_prepped(p.result()), pack_fut))
+        for f in put_q:
+            acc.insert(dictionary.sorted_run_from_prepped(f.result(), k))
     run = acc.finish()
     if run is None:
         raise ValueError("no reads")
@@ -273,8 +286,12 @@ def run_pregraph(batch_iter_factory, k: int,
     # thread_reads compiles superlinearly with the row count on the
     # TPU backend (a 32768-row shape takes >35 min to compile where
     # 4096 takes ~1 min); chunk the stream to a fixed 4096-row shape
-    # regardless of the counting batch size
-    chunk = 4096
+    # regardless of the counting batch size.  Chunk dispatches are
+    # fully async — candidates buffer on device and fold through ONE
+    # count_arcs (host sync) per GROUP chunks, so the tunnel round
+    # trip is paid 1/GROUP as often.
+    chunk, group = 4096, 16
+    buf = []
     for codes, lengths, _lib in batch_iter_factory():
         for off in range(0, codes.shape[0], chunk):
             cc = codes[off:off + chunk]
@@ -292,7 +309,12 @@ def run_pregraph(batch_iter_factory, k: int,
                 p2 = 2 * (l - k + 1)
                 recorder.add_batch(np.asarray(t).reshape(r, p2),
                                    np.asarray(v).reshape(r, p2))
-            forest.insert(arcs_mod.count_arcs(f, t, v, edges.twin))
+            buf.append((f, t, v))
+            if len(buf) >= group:
+                forest.insert(arcs_mod.count_arcs_many(buf, edges.twin))
+                buf = []
+    if buf:
+        forest.insert(arcs_mod.count_arcs_many(buf, edges.twin))
     aset = forest.finish()
     print(f"[pregraph] {int(aset.n)} preArcs ({time.time() - t0:.1f}s)")
     return PregraphResult(table, graph, edges, patch, aset, k,

@@ -59,17 +59,14 @@ def run_pass(batches, lengths, verbose):
         pregraph.TARGET_BUILD_ROWS))
     t0 = time.time()
     for codes, lens in units:
-        pr = readpack.pack_reads(np.asarray(codes))
+        prepped = dictionary.prep_host_reads(codes, lens)
         t0 = mark("host_pack", t0)
-        d = (jax.device_put(pr.data), jax.device_put(pr.n_row),
-             jax.device_put(pr.n_col), jax.device_put(np.asarray(lens)))
-        true_sync(d[0])
+        true_sync(prepped[1])
         t0 = mark("h2d", t0)
-        rows, cnt, n = dictionary._sorted_run_from_packed_device(
-            *d, pr.l, K)
+        r = dictionary.sorted_run_from_prepped(prepped, K)
+        rows = r.rows
         true_sync(rows)
         t0 = mark("build_sort", t0)
-        r = dictionary.SortedRun(rows, cnt, n)
         acc.insert(r)
         if len(acc.runs) and verbose:
             pass
