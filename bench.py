@@ -130,6 +130,41 @@ def capacity():
         "seconds": round(dt, 2),
     }))
 
+    # Device-resident variant: same 109M rows with the build units
+    # pre-uploaded — separates the algorithm from this rig's stdio
+    # tunnel, whose H2D (~15-80 MB/s) serializes with device execution
+    # (a local chip feeds H2D at PCIe speed).  Phase table + analysis
+    # in kernels/ROOFLINE.md.
+    from soapdenovo_trans_tpu.ops import dictionary
+    from soapdenovo_trans_tpu.stages import pregraph as pg
+
+    units = list(pg._iter_build_units(
+        ((b, lengths, 0) for b in batches), K, pg.TARGET_BUILD_ROWS))
+    prepped = [dictionary.prep_host_reads(c, l) for c, l in units]
+    for p in prepped:
+        np.asarray(p[1][:1])  # force the transfers to finish
+
+    def resident_pass():
+        acc = dictionary.RunAccumulator(collapse_rows=pg.COLLAPSE_ROWS)
+        for p in prepped:
+            acc.insert(dictionary.sorted_run_from_prepped(p, K))
+        return dictionary.finalize_run(acc.finish(), K)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        t = resident_pass()
+        np.asarray(t.keys[:1])
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
+    print(json.dumps({
+        "metric": "kmer_counting_capacity_device_resident",
+        "rows": total_rows,
+        "value": round(total_rows / dt / 1e6, 2),
+        "unit": "Mkmers/s",
+        "seconds": round(dt, 2),
+    }))
+
 
 def main():
     import jax

@@ -310,4 +310,54 @@ void fastx_close(void* hv) {
   delete h;
 }
 
+// 2-bit pack of a (r, l) base-code matrix: 4 bases/byte LSB-first into
+// (r, ceil(l/4)); flat positions (row*l + col) of N bases (code >= 4)
+// go into n_flat (capacity ncap).  Returns the N count, or -1 if it
+// exceeds ncap (caller falls back to raw u8 upload).
+//
+// Host side of ops/readpack.py's packed H2D path.  The numpy
+// formulation runs at ~90 MB/s on this 2-vCPU host and competes with
+// the tunnel relay for cores; this loop packs at memory speed.
+long pack2bit(const unsigned char* codes, long r, long l,
+              unsigned char* out, int* n_flat, long ncap) {
+  const long lp = (l + 3) / 4;
+  long n_count = 0;
+  for (long i = 0; i < r; i++) {
+    const unsigned char* row = codes + i * l;
+    unsigned char* orow = out + i * lp;
+    long j = 0;
+    for (; j + 4 <= l; j += 4) {
+      orow[j >> 2] = static_cast<unsigned char>(
+          (row[j] & 3) | ((row[j + 1] & 3) << 2) |
+          ((row[j + 2] & 3) << 4) | ((row[j + 3] & 3) << 6));
+    }
+    if (j < l) {
+      unsigned v = 0;
+      for (long t = j; t < l; t++) v |= (row[t] & 3u) << ((t - j) * 2);
+      orow[j >> 2] = static_cast<unsigned char>(v);
+    }
+    // N scan, 8 bytes at a time: codes are < 8, so bit 2 set <=> >= 4
+    long t = 0;
+    for (; t + 8 <= l; t += 8) {
+      uint64_t chunk;
+      memcpy(&chunk, row + t, 8);
+      if (chunk & 0x0404040404040404ULL) {
+        for (long u = t; u < t + 8; u++) {
+          if (row[u] >= 4) {
+            if (n_count >= ncap) return -1;
+            n_flat[n_count++] = static_cast<int>(i * l + u);
+          }
+        }
+      }
+    }
+    for (; t < l; t++) {
+      if (row[t] >= 4) {
+        if (n_count >= ncap) return -1;
+        n_flat[n_count++] = static_cast<int>(i * l + t);
+      }
+    }
+  }
+  return n_count;
+}
+
 }  // extern "C"

@@ -50,8 +50,34 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_long, ctypes.c_long]
     lib.fastx_close.restype = None
     lib.fastx_close.argtypes = [ctypes.c_void_p]
+    lib.pack2bit.restype = ctypes.c_long
+    lib.pack2bit.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     _lib = lib
     return _lib
+
+
+def pack2bit(codes: np.ndarray, ncap: int
+             ) -> "Optional[Tuple[np.ndarray, np.ndarray, int]]":
+    """Native 4-bases/byte pack + N-position sideband; None when the
+    library is unavailable or the batch has more Ns than ncap (caller
+    uploads raw u8).  See readpack.pack_reads for the contract."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    r, l = codes.shape
+    out = np.empty((r, (l + 3) // 4), np.uint8)
+    n_flat = np.empty(ncap, np.int32)
+    n = lib.pack2bit(codes, r, l, out, n_flat, ncap)
+    if n < 0:
+        return None
+    n_flat[n:] = r * l
+    return out, n_flat, int(n)
 
 
 def available() -> bool:

@@ -126,6 +126,19 @@ def main():
                       jnp.zeros(m, jnp.int32), jnp.zeros(m, bool),
                       lengths)
 
+        from soapdenovo_trans_tpu.stages import map as map_stage
+
+        def vote_only(ctg_of, kpos, src, wrc, ln):
+            return map_stage.vote(
+                ctg_of, kpos, src, wrc, ln,
+                jnp.zeros(1 << 16, jnp.int32),
+                jnp.arange(1 << 16, dtype=jnp.int32), K, 32)
+
+        timed_compile(
+            "map vote", vote_only,
+            jnp.zeros((r, P), jnp.int32), jnp.zeros((r, P), jnp.int32),
+            jnp.zeros((r, P), bool), jnp.zeros((r, P), bool), lengths)
+
 
 if __name__ == "__main__":
     main()
