@@ -419,9 +419,12 @@ def run_map_cmd(args, ctg=None, table=None):
     lib_reads = {}       # lib index -> reads seen (for .peGrads)
     max_read_len = 0
     from .io import fastx
+    # map.vote's flat rewrite compiles O(1) in the row count (83s at
+    # 4096 AND 16384 rows, tools/prof_compile.py 2026-08-21); the
+    # batch shape is now free to grow — env-tunable like threading
+    map_rows = int(os.environ.get("SOAPDENOVO_TPU_MAP_ROWS", 4096))
     for codes, lengths, li in fastx.config_read_batches(
-            cfg, 4096, purpose=2):  # map voting: same superlinear
-        #  TPU compile hazard as thread_reads — keep the shape small
+            cfg, map_rows, purpose=2):
         lib = cfg.libs[li]
         if mesh is not None:
             from .parallel import sharded_map

@@ -283,14 +283,17 @@ def run_pregraph(batch_iter_factory, k: int,
         else None
     t0 = time.time()
     forest = arcs_mod.ArcForest(edges.twin)
-    # thread_reads compiles superlinearly with the row count on the
-    # TPU backend (a 32768-row shape takes >35 min to compile where
-    # 4096 takes ~1 min); chunk the stream to a fixed 4096-row shape
-    # regardless of the counting batch size.  Chunk dispatches are
-    # fully async — candidates buffer on device and fold through ONE
-    # count_arcs (host sync) per GROUP chunks, so the tunnel round
-    # trip is paid 1/GROUP as often.
-    chunk, group = 4096, 16
+    # thread_reads compile time grows ~linearly with the row count on
+    # the TPU backend (measured 2026-08-21 after the flat _path_slots
+    # rewrite: 77s at 4096 rows, 334s at 16384 — down from >35 MIN at
+    # 32768 before it; tools/prof_compile.py).  Default to the 4096
+    # shape; mouse-scale runs can pay the one-time (disk-cached)
+    # compile of a larger shape for proportionally fewer dispatches.
+    # Chunk dispatches are fully async — candidates buffer on device
+    # and fold through ONE count_arcs (host sync) per GROUP chunks, so
+    # the tunnel round trip is paid 1/GROUP as often.
+    chunk = int(_os.environ.get("SOAPDENOVO_TPU_THREAD_ROWS", 4096))
+    group = 16
     buf = []
     for codes, lengths, _lib in batch_iter_factory():
         for off in range(0, codes.shape[0], chunk):

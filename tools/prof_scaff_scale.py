@@ -16,8 +16,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+# sitecustomize force-sets jax_platforms='axon,cpu' (overriding the
+# JAX_PLATFORMS env var); this fixture is pure host work — pin to CPU
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
