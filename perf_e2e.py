@@ -243,6 +243,23 @@ counting on this host's 2 cores is ~3.9 Mkmers/s.  On sizes where
 per-read work dominates fixed per-program cost, the kernel-rate ratio
 (~14x per-core-pair) is what transfers; the first run on a fresh
 machine additionally pays the one-time compiles.
+
+## Stage-scale fixtures (beyond this dataset)
+
+Measured 2026-08-21 on this rig (details in the named tools):
+
+- counting at the reference's 1e8-row fill unit
+  (`bench.py --capacity`, 109.2M rows / 13.1M distinct): 29-33
+  Mkmers/s streaming through the tunnel, **52.9 Mkmers/s
+  device-resident** — at-depth rate now equals the small-shape rate
+  (was 6.54 in round 4); phase table in kernels/ROOFLINE.md.
+- contig stage at >=1e6 edges (`tools/prof_contig_scale.py`):
+  isoform-dense graph via the production pregraph; see the "contig
+  scale" row below if present, else the tool prints wall-clock for
+  cold + warm runs.
+- scaff structure phase at 10k loci / 220k contig rows
+  (`tools/prof_scaff_scale.py`): 7.4s, LINEAR at 0.74-0.81 ms/locus
+  from 2.5k to 20k loci.
 """
     with open("PERF.md", "w") as fh:
         fh.write(doc)
