@@ -109,7 +109,10 @@ def _tip_prev(table: dictionary.KmerTable, graph, thin: bool):
     return prev, member, head_cand, in_deg
 
 
-_rank_tips = jax.jit(ranking.list_rank)
+# host-level dispatcher: switches to per-round programs above
+# ranking.STEPWISE_N nodes (the fused form faults the TPU worker
+# there) — must NOT be wrapped in jax.jit
+_rank_tips = ranking.list_rank
 
 
 @jax.jit

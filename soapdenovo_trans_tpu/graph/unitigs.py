@@ -63,15 +63,11 @@ def _gather_or(x, idx, fill):
     return jnp.where(idx >= 0, x[safe], fill)
 
 
-_rank_arcs = jax.jit(ranking.list_rank)
-
-
 @jax.jit
-def _arc_arrays(graph: dbg_mod.DBG):
+def _arc_prev_device(graph: dbg_mod.DBG):
     """Flatten the (2cap, 4) arc grid and compute backward pointers."""
     two_cap = graph.out_deg.shape[0]
     exists = graph.exists          # arc-flat
-    succ = graph.succ              # arc-flat
     u = jnp.arange(two_cap * 4, dtype=jnp.int32) >> 2
 
     # unique in-arc of each linear node: twin of the unique out-arc of
@@ -90,16 +86,28 @@ def _arc_arrays(graph: dbg_mod.DBG):
     arc_prev = jnp.where(
         _gather_or(exists, arc_prev, False), arc_prev, -1
     )
-    head, rank, is_head = _rank_arcs(arc_prev, exists)
+    return arc_prev
+
+
+def _arc_arrays(graph: dbg_mod.DBG):
+    """Arc chain ranking, host-orchestrated: the ranking runs at
+    4*two_cap elements (2^27 at a pow2-quantized 13M-kmer table), far
+    beyond ranking.STEPWISE_N — it must go through the host-level
+    list_rank dispatcher, not inline in a fused program (the fused
+    form kernel-faults the TPU worker at 2^25+, see ops/ranking.py)."""
+    arc_prev = _arc_prev_device(graph)
+    head, rank, is_head = ranking.list_rank(arc_prev, graph.exists)
     n_edges = jnp.sum(is_head.astype(jnp.int32))
-    n_arcs = jnp.sum(exists.astype(jnp.int32))
-    return exists, succ, head, rank, is_head, n_edges, n_arcs
+    n_arcs = jnp.sum(graph.exists.astype(jnp.int32))
+    return head, rank, is_head, n_edges, n_arcs
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _extract_edges(graph: dbg_mod.DBG, table: dictionary.KmerTable,
-                   k: int, e_cap: int, s_cap: int):
-    exists, succ, head, rank, is_head, n_edges, _ = _arc_arrays(graph)
+                   k: int, e_cap: int, s_cap: int,
+                   head, rank, is_head, n_edges):
+    exists = graph.exists
+    succ = graph.succ
     a_total = exists.shape[0]
     two_cap = graph.out_deg.shape[0]
     arc_ids = jnp.arange(a_total, dtype=jnp.int32)
@@ -174,10 +182,11 @@ def _extract_edges(graph: dbg_mod.DBG, table: dictionary.KmerTable,
 def condense(graph: dbg_mod.DBG, table: dictionary.KmerTable,
              k: int) -> EdgeGraph:
     """Host-orchestrated two-phase condensation (sizes read once)."""
-    *_, n_edges, n_arcs = _arc_arrays(graph)
+    head, rank, is_head, n_edges, n_arcs = _arc_arrays(graph)
     e_cap = dictionary.round_up(max(int(n_edges), 1))
     s_cap = dictionary.round_up(max(int(n_arcs), 1))
-    return _extract_edges(graph, table, k, e_cap, s_cap)
+    return _extract_edges(graph, table, k, e_cap, s_cap,
+                          head, rank, is_head, n_edges)
 
 
 def edge_sequences(eg: EdgeGraph, table: dictionary.KmerTable, k: int):
