@@ -62,14 +62,16 @@ class ArcSet(NamedTuple):
 @functools.partial(jax.jit, static_argnums=(2,))
 def _patch_candidates(eg: unitigs.EdgeGraph, table: dictionary.KmerTable,
                       k: int):
-    cap = table.capacity
     e_cap = eg.length.shape[0]
-    keys = table.keys
-    rc = bits.reverse_complement(keys, k)
-    oriented = jnp.stack([keys, rc], axis=1).reshape(2 * cap, -1)
 
     is_len1 = (eg.length == 1) & (jnp.arange(e_cap) < eg.n_edges)
-    from_km = oriented[jnp.clip(eg.from_node, 0)]
+    # from_node = 2*row + strand: gather the e_cap (small) key rows
+    # FIRST and orient after — materializing a (2*cap, W) oriented
+    # table to gather from compile-OOMs the chip at pow2 2^24 caps
+    u = jnp.clip(eg.from_node, 0)
+    km = table.keys[u >> 1]
+    from_km = jnp.where(((u & 1) == 1)[:, None],
+                        bits.reverse_complement(km, k), km)
     first_base = eg.seq_pool[jnp.clip(eg.seq_off, 0, eg.seq_pool.shape[0] - 1)]
     kp = bits.append_base(from_km, first_base.astype(jnp.uint32), k)
     can, use_rc = bits.canonical(kp, k + 1)
